@@ -1,0 +1,59 @@
+"""mpc_planner_tpu — a TPU-native real-time MPC engine for 2D mobile robots.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+tud-amr/mpc_planner (see SURVEY.md): modular stage costs/constraints
+(MPCC / CA-MPC contouring, goal tracking, ellipsoidal / linearized /
+Gaussian chance / scenario / free-space-polytope collision avoidance)
+over unicycle & bicycle dynamics, solved with a batched SQP-RTI loop
+whose stagewise QP step is an interior-point Riccati sweep.
+
+Where the reference runs a handful of homotopy-class solvers over OpenMP
+threads (T-MPC++, reference guidance_constraints.cpp:279), this engine
+vmaps the entire solve over a leading batch axis and shards it across a
+TPU mesh.
+
+Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
+  planner.py        — Planner.solve_mpc orchestration (ref planner.cpp)
+  modules/          — objective/constraint modules: one class = symbolic
+                      (traced) half + host `prepare` half
+  solver/           — OCP assembly, SQP-RTI, interior-point Riccati QP
+  models/           — dynamics models + RK4 (ref solver_model.py)
+  parallel/         — mesh/sharding for batched solves
+  guidance/         — homotopy-class guidance (T-MPC++)
+  sim/              — pure-JAX closed-loop simulator (replaces Gazebo)
+"""
+
+from mpc_planner_tpu.utils.config import Config, default_config
+from mpc_planner_tpu.types import (
+    Disc,
+    Halfspace,
+    Prediction,
+    PredictionType,
+    DynamicObstacle,
+    ReferencePath,
+    RealTimeData,
+    Trajectory,
+    PlannerOutput,
+    ModuleData,
+    State,
+)
+from mpc_planner_tpu.parameters import ParameterRegistry
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Config",
+    "default_config",
+    "Disc",
+    "Halfspace",
+    "Prediction",
+    "PredictionType",
+    "DynamicObstacle",
+    "ReferencePath",
+    "RealTimeData",
+    "Trajectory",
+    "PlannerOutput",
+    "ModuleData",
+    "State",
+    "ParameterRegistry",
+]

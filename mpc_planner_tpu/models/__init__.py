@@ -1,0 +1,19 @@
+from mpc_planner_tpu.models.dynamics import (
+    DynamicsModel,
+    SecondOrderUnicycleModel,
+    ContouringSecondOrderUnicycleModel,
+    ContouringSecondOrderUnicycleModelCurvatureAware,
+    ContouringSecondOrderUnicycleModelWithSlack,
+    BicycleModel2ndOrder,
+    BicycleModel2ndOrderCurvatureAware,
+)
+
+__all__ = [
+    "DynamicsModel",
+    "SecondOrderUnicycleModel",
+    "ContouringSecondOrderUnicycleModel",
+    "ContouringSecondOrderUnicycleModelCurvatureAware",
+    "ContouringSecondOrderUnicycleModelWithSlack",
+    "BicycleModel2ndOrder",
+    "BicycleModel2ndOrderCurvatureAware",
+]

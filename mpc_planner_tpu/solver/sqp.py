@@ -1,0 +1,243 @@
+"""SQP-RTI solver: linearize -> IP-Riccati QP -> full step, iterated.
+
+TPU-native equivalent of the reference's generated acados SQP_RTI solver
+plus its iteration wrapper (acados_solver_interface.cpp:86-204: `_num_
+iterations` RTI iterations, EXACT Hessian with MIRROR regularization and
+FIXED_STEP globalization per generate_acados_solver.py:155-162).
+
+Differences by design:
+  * Linearization (dynamics Jacobians, cost gradients/Hessians, constraint
+    Jacobians) is `jax.jacfwd`/`jax.hessian` of the traced module
+    expressions — no code generation.
+  * MIRROR regularization = eigendecompose the stage Hessian and take
+    max(|eig|, lm) (acados' MIRROR projects negative curvature the same
+    way).
+  * The per-cycle wall-clock timeout (acados_solver_interface.cpp:108-116)
+    becomes a host-chosen iteration count: the planner picks how many RTI
+    iterations fit the remaining budget (iteration time is deterministic
+    on TPU, so budget -> count is a host-side division, planner.py).
+  * The whole solve vmaps over a leading batch axis; `solve_batch` is the
+    T-MPC++/scenario fan-out surface.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_planner_tpu.solver.ocp import OCP
+from mpc_planner_tpu.solver.qp import QPData, solve_qp
+
+# Exit codes follow the reference's Forces-style convention
+# (acados_solver_interface.cpp:198-203 remaps acados codes to these).
+EXIT_SUCCESS = 1
+EXIT_FAILURE = -1
+EXIT_NOT_OPTIMIZED_YET = -999  # ref controller_module.h:13
+
+
+class SolveResult(NamedTuple):
+    Z: jnp.ndarray  # [.., N+1, nvar] solution trajectory (u, x per stage)
+    exit_code: jnp.ndarray  # int32: 1 success / -1 failure
+    pobj: jnp.ndarray  # nonlinear objective at the solution
+    res_eq: jnp.ndarray  # max dynamics defect
+    qp_mu: jnp.ndarray  # final interior-point complementarity
+
+
+def _mirror(H, lm: float):
+    """MIRROR regularization: eigenvalues -> max(|eig|, lm)."""
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(jnp.abs(w), lm)
+    return (V * w[..., None, :]) @ jnp.swapaxes(V, -1, -2)
+
+
+class SQPSolver:
+    """Compiled SQP-RTI solver for one OCP specification."""
+
+    def __init__(self, ocp: OCP, iterations: Optional[int] = None,
+                 qp_iterations: Optional[int] = None):
+        self.ocp = ocp
+        cfg = ocp.cfg
+        self.iterations = cfg.solver.iterations if iterations is None else iterations
+        self.qp_iterations = (
+            cfg.solver.qp_iterations if qp_iterations is None else qp_iterations
+        )
+        self.lm = cfg.solver.levenberg_marquardt
+        self.tol_eq = cfg.solver.tol_eq_residual
+        self.mu0 = cfg.solver.qp_mu0
+        self.mu_min = cfg.solver.qp_mu_min
+
+        N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
+        self.nrows = nu + nx + nh
+
+        # Static box-row templates
+        D_box = np.zeros((nu + nx, nvar))
+        D_box[:nu, :nu] = np.eye(nu)
+        D_box[nu:, nu:] = np.eye(nx)
+        self._D_box = jnp.asarray(D_box)
+
+        lbz = np.asarray(ocp.lb_z, dtype=float)
+        ubz = np.asarray(ocp.ub_z, dtype=float)
+        self._box_l_finite = jnp.asarray(np.isfinite(lbz).astype(float))
+        self._box_u_finite = jnp.asarray(np.isfinite(ubz).astype(float))
+        self._lbz = jnp.asarray(np.where(np.isfinite(lbz), lbz, -1e15))
+        self._ubz = jnp.asarray(np.where(np.isfinite(ubz), ubz, 1e15))
+        if nh:
+            lh = np.asarray(ocp.lh, dtype=float)
+            uh = np.asarray(ocp.uh, dtype=float)
+            self._h_l_finite = jnp.asarray(np.isfinite(lh).astype(float))
+            self._h_u_finite = jnp.asarray(np.isfinite(uh).astype(float))
+            self._lh = jnp.asarray(np.where(np.isfinite(lh), lh, -1e15))
+            self._uh = jnp.asarray(np.where(np.isfinite(uh), uh, 1e15))
+
+        # Compiled-function cache keyed by (num_iterations, batched): the
+        # host-side timeout logic selects the iteration count per cycle and
+        # every count it uses is compiled once (ref budget semantics,
+        # planner.cpp:117-118).
+        self._compiled = {}
+
+    # -- linearization ----------------------------------------------------
+    def _linearize(self, Z, P):
+        ocp = self.ocp
+        N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
+        dtype = Z.dtype
+
+        Zr, Pr = Z[:N], P[:N]
+
+        # Dynamics: value + Jacobian
+        f_val = jax.vmap(ocp.dynamics_fn)(Zr, Pr)  # [N, nx]
+        Jf = jax.vmap(jax.jacfwd(ocp.dynamics_fn))(Zr, Pr)  # [N, nx, nvar]
+        A = Jf[:, :, nu:]
+        B = Jf[:, :, :nu]
+        c = f_val - Z[1:, nu:]
+
+        # Cost: gradient + mirrored Hessian
+        g_run = jax.vmap(jax.grad(ocp.running_cost))(Zr, Pr)
+        H_run = jax.vmap(jax.hessian(ocp.running_cost))(Zr, Pr)
+        H_run = _mirror(H_run, self.lm)
+
+        zN = Z[N].at[:nu].set(0.0)
+        g_term_full = jax.grad(ocp.terminal_cost)(zN, P[N])
+        H_term_full = jax.hessian(ocp.terminal_cost)(zN, P[N])
+        H_term_x = _mirror(H_term_full[nu:, nu:], self.lm)
+
+        H = jnp.concatenate(
+            [H_run, jnp.zeros((1, nvar, nvar), dtype).at[0, nu:, nu:].set(H_term_x)],
+            axis=0,
+        )
+        g = jnp.concatenate(
+            [g_run, jnp.zeros((1, nvar), dtype).at[0, nu:].set(g_term_full[nu:])],
+            axis=0,
+        )
+
+        # Constraint rows
+        if nh:
+            h_val = jax.vmap(ocp.constraint_fn)(Zr, Pr)  # [N, nh]
+            Jh = jax.vmap(jax.jacfwd(ocp.constraint_fn))(Zr, Pr)  # [N, nh, nvar]
+        else:
+            h_val = jnp.zeros((N, 0), dtype)
+            Jh = jnp.zeros((N, 0, nvar), dtype)
+
+        # Uniform row layout per stage: [u-box, x-box, h]
+        D_box = jnp.broadcast_to(self._D_box, (N + 1, nu + nx, nvar))
+        Jh_full = jnp.concatenate([Jh, jnp.zeros((1, nh, nvar), dtype)], axis=0)
+        D = jnp.concatenate([D_box, Jh_full], axis=1)  # [N+1, nrows, nvar]
+
+        # Shifted bounds: box rows relative to current z
+        lb_box = self._lbz[None, :] - Z  # [N+1, nvar]
+        ub_box = self._ubz[None, :] - Z
+        if nh:
+            h_pad = jnp.concatenate([h_val, jnp.zeros((1, nh), dtype)], axis=0)
+            lb_h = self._lh[None, :] - h_pad
+            ub_h = self._uh[None, :] - h_pad
+            lb = jnp.concatenate([lb_box, lb_h], axis=1)
+            ub = jnp.concatenate([ub_box, ub_h], axis=1)
+        else:
+            lb, ub = lb_box, ub_box
+
+        # Masks: u-box + h inactive at terminal; x-box inactive at stage 0;
+        # infinite bounds inactive everywhere.
+        stage_idx = jnp.arange(N + 1)
+        u_active = (stage_idx < N).astype(dtype)[:, None]  # [N+1, 1]
+        x_active = (stage_idx > 0).astype(dtype)[:, None]
+        h_active = (stage_idx < N).astype(dtype)[:, None]
+
+        mask_l = jnp.concatenate(
+            [
+                u_active * self._box_l_finite[None, :nu],
+                x_active * self._box_l_finite[None, nu:],
+            ]
+            + ([h_active * self._h_l_finite[None, :]] if nh else []),
+            axis=1,
+        )
+        mask_u = jnp.concatenate(
+            [
+                u_active * self._box_u_finite[None, :nu],
+                x_active * self._box_u_finite[None, nu:],
+            ]
+            + ([h_active * self._h_u_finite[None, :]] if nh else []),
+            axis=1,
+        )
+
+        return QPData(H=H, g=g, A=A, B=B, c=c, D=D, lb=lb, ub=ub,
+                      mask_l=mask_l, mask_u=mask_u)
+
+    # -- SQP-RTI loop -----------------------------------------------------
+    def _solve(self, Z0, P, xinit, num_iterations: int):
+        ocp = self.ocp
+        nu, nx = ocp.nu, ocp.nx
+
+        # Pin x_0 = xinit (ref setXinit + lbx0/ubx0)
+        Z0 = Z0.at[0, nu:].set(xinit)
+
+        def rti_iter(Z, _):
+            qp = self._linearize(Z, P)
+            sol = solve_qp(
+                qp, nu, nx,
+                iterations=self.qp_iterations,
+                mu0=self.mu0,
+                mu_min=self.mu_min,
+            )
+            Z_new = Z + sol.dz  # FIXED_STEP globalization
+            return Z_new, sol.mu
+
+        Z, mus = jax.lax.scan(rti_iter, Z0, None, length=num_iterations)
+
+        res_eq = ocp.eq_residual(Z, P)
+        pobj = ocp.total_cost(Z, P)
+        finite = jnp.isfinite(res_eq) & jnp.isfinite(pobj) & jnp.all(jnp.isfinite(Z))
+        success = finite & (res_eq <= self.tol_eq)
+        exit_code = jnp.where(success, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
+        return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
+                           res_eq=res_eq, qp_mu=mus[-1])
+
+    # -- public API --------------------------------------------------------
+    def _get_compiled(self, n: int, batched: bool):
+        key = (n, batched)
+        fn = self._compiled.get(key)
+        if fn is None:
+            base = lambda Z0, P, xinit: self._solve(Z0, P, xinit, n)
+            fn = jax.jit(jax.vmap(base) if batched else base)
+            self._compiled[key] = fn
+        return fn
+
+    def solve(self, Z0, P, xinit, num_iterations: Optional[int] = None) -> SolveResult:
+        """Single solve. Z0 [N+1, nvar] warmstart, P [N+1, npar], xinit [nx]."""
+        n = self.iterations if num_iterations is None else max(int(num_iterations), 1)
+        return self._get_compiled(n, False)(
+            jnp.asarray(Z0, jnp.float32),
+            jnp.asarray(P, jnp.float32),
+            jnp.asarray(xinit, jnp.float32),
+        )
+
+    def solve_batch(self, Z0, P, xinit, num_iterations: Optional[int] = None) -> SolveResult:
+        """Batched solve over a leading axis (T-MPC planners / scenarios)."""
+        n = self.iterations if num_iterations is None else max(int(num_iterations), 1)
+        return self._get_compiled(n, True)(
+            jnp.asarray(Z0, jnp.float32),
+            jnp.asarray(P, jnp.float32),
+            jnp.asarray(xinit, jnp.float32),
+        )

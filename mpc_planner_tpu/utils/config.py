@@ -1,0 +1,207 @@
+"""Configuration tree.
+
+TPU-native equivalent of the reference's YAML `CONFIG` singleton
+(reference mpc_planner_util/include/mpc_planner_util/parameters.h:7-52) and the
+per-system `config/settings.yaml`
+(reference mpc_planner_jackalsimulator/config/settings.yaml:1-91).
+
+Design difference: everything that determines *shapes* of the compiled
+program (N, max_obstacles, num_segments, n_discs, ...) is a plain Python
+value on a frozen dataclass, so it is static under `jax.jit`; runtime
+tunables (weights) live in a dict that is uploaded as solver parameters
+each cycle (the reference streams them through the generated
+`setSolverParameter*` setters each stage, generate_cpp_files.py:204-260).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+try:  # yaml is available via transitively-installed deps; gate anyway.
+    import yaml
+
+    _HAS_YAML = True
+except Exception:  # pragma: no cover
+    _HAS_YAML = False
+
+
+@dataclass(frozen=True)
+class ContouringConfig:
+    num_segments: int = 5
+    dynamic_velocity_reference: bool = False
+    add_road_constraints: bool = True
+    preview: float = 0.0
+
+
+@dataclass(frozen=True)
+class TMPCConfig:
+    """T-MPC++ settings (reference settings.yaml:63-67)."""
+
+    use_tmpc_pp: bool = True  # include the non-guided planner in parallel
+    enable_constraints: bool = True  # homotopy halfspace constraints
+    warmstart_with_mpc_solution: bool = False
+    # Batched scale-out beyond the reference's 4+1 planners:
+    n_paths: int = 4  # guided planners (ref guidance_planner.yaml:11)
+    selection_weight_consistency: float = 0.75  # bonus for previously chosen class
+
+
+@dataclass(frozen=True)
+class ProbabilisticConfig:
+    enable: bool = True
+    risk: float = 0.05
+    propagate_uncertainty: bool = True
+
+
+@dataclass(frozen=True)
+class ScenarioConfig:
+    parallel_solvers: int = 4
+    n_constraints: int = 24  # halfspaces per stage (ref scenario_constraints.py:26)
+    n_samples: int = 100  # scenario samples drawn per solver
+    enable_safe_horizon: bool = True
+
+
+@dataclass(frozen=True)
+class DecompConfig:
+    range: float = 2.0
+    max_constraints: int = 12
+    occupancy_threshold: int = 127
+
+
+@dataclass(frozen=True)
+class RoadConfig:
+    two_way: bool = False
+    width: float = 6.0
+
+
+@dataclass(frozen=True)
+class RobotConfig:
+    length: float = 0.65
+    width: float = 0.65
+    com_to_back: float = 0.0
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    iterations: int = 10  # SQP-RTI iterations (ref settings.yaml:16)
+    qp_iterations: int = 18  # interior-point iterations per QP
+    solver_type: str = "SQP_RTI"  # or "SQP"
+    tol_stationarity: float = 1e-3  # ref settings.yaml tolstat
+    tol_eq_residual: float = 1e-2  # res_eq failure check (ref acados_solver_interface.cpp:176-181)
+    hessian_approx: str = "EXACT_MIRROR"  # or "GAUSS_NEWTON"
+    levenberg_marquardt: float = 1e-6
+    qp_mu0: float = 1e1
+    qp_mu_min: float = 1e-10
+    timeout_margin: float = 0.006  # [s] subtracted from budget (ref planner.cpp:117-118)
+
+
+@dataclass(frozen=True)
+class Config:
+    """Static planner configuration (shape-determining + tunables).
+
+    Defaults mirror mpc_planner_jackalsimulator/config/settings.yaml.
+    """
+
+    name: str = "jackal"
+    N: int = 30  # horizon
+    integrator_step: float = 0.2  # [s]
+    n_discs: int = 1
+    max_obstacles: int = 12
+    robot_radius: float = 0.325
+    obstacle_radius: float = 0.4
+    control_frequency: float = 20.0  # [Hz]
+    enable_output: bool = True
+    deceleration_at_infeasible: float = 3.0  # [m/s^2]
+    shift_previous_solution_forward: bool = False
+    max_obstacle_distance: float = 30.0
+    debug_limits: bool = False
+
+    robot: RobotConfig = field(default_factory=RobotConfig)
+    road: RoadConfig = field(default_factory=RoadConfig)
+    contouring: ContouringConfig = field(default_factory=ContouringConfig)
+    t_mpc: TMPCConfig = field(default_factory=TMPCConfig)
+    probabilistic: ProbabilisticConfig = field(default_factory=ProbabilisticConfig)
+    scenario_constraints: ScenarioConfig = field(default_factory=ScenarioConfig)
+    decomp: DecompConfig = field(default_factory=DecompConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    linearized_add_halfspaces: int = 0  # ref settings.yaml linearized_constraints
+
+    # Runtime-tunable weights (ref settings.yaml:76-91). These are streamed
+    # into the parameter tensor each cycle — changing them does NOT recompile.
+    weights: Dict[str, float] = field(
+        default_factory=lambda: {
+            "goal": 1.0,
+            "goal_x": 1.0,
+            "goal_y": 1.0,
+            "velocity": 0.55,
+            "acceleration": 0.34,
+            "angular_velocity": 0.85,
+            "reference_velocity": 2.0,
+            "contour": 0.05,
+            "preview": 0.0,
+            "lag": 0.75,
+            "slack": 10000.0,
+            "terminal_angle": 100.0,
+            "terminal_contouring": 10.0,
+        }
+    )
+
+    @property
+    def dt(self) -> float:
+        return self.integrator_step
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def with_weights(self, **weights: float) -> "Config":
+        merged = dict(self.weights)
+        merged.update(weights)
+        return dataclasses.replace(self, weights=merged)
+
+
+def default_config(**overrides: Any) -> Config:
+    return Config().replace(**overrides) if overrides else Config()
+
+
+def _nested_update(cfg: Config, data: Dict[str, Any]) -> Config:
+    """Apply a (possibly nested) dict of overrides onto a Config."""
+    kwargs: Dict[str, Any] = {}
+    field_types = {f.name: f for f in dataclasses.fields(Config)}
+    rename = {
+        "t-mpc": "t_mpc",
+        "use_t-mpc++": "use_tmpc_pp",
+    }
+    for key, value in data.items():
+        key = rename.get(key, key)
+        if key not in field_types:
+            continue
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            sub_kwargs = {}
+            sub_fields = {f.name for f in dataclasses.fields(current)}
+            for sk, sv in value.items():
+                sk = rename.get(sk, sk)
+                if sk in sub_fields:
+                    sub_kwargs[sk] = sv
+            kwargs[key] = dataclasses.replace(current, **sub_kwargs)
+        elif key == "weights" and isinstance(value, dict):
+            merged = dict(current)
+            merged.update(value)
+            kwargs[key] = merged
+        else:
+            kwargs[key] = value
+    return dataclasses.replace(cfg, **kwargs)
+
+
+def load_config(path: Optional[str] = None, data: Optional[Dict[str, Any]] = None) -> Config:
+    """Load a Config from a YAML file or a dict (settings.yaml-compatible keys)."""
+    cfg = Config()
+    if path is not None:
+        if not _HAS_YAML:  # pragma: no cover
+            raise RuntimeError("pyyaml unavailable; pass `data=` instead")
+        with open(path) as f:
+            data = yaml.safe_load(f)
+    if data:
+        cfg = _nested_update(cfg, data)
+    return cfg

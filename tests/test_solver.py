@@ -1,0 +1,171 @@
+"""Solver tests: OCP dims (model: reference test_acados.py:48-77),
+QP KKT satisfaction, SQP goal convergence, warmstart semantics
+(model: reference mpc_planner_solver/test/test_solver.cpp:52-134)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_planner_tpu.models import (
+    ContouringSecondOrderUnicycleModel,
+    SecondOrderUnicycleModel,
+)
+from mpc_planner_tpu.modules import (
+    EllipsoidConstraintModule,
+    GoalModule,
+    ModuleManager,
+    MPCBaseModule,
+)
+from mpc_planner_tpu.parameters import ParameterBlock
+from mpc_planner_tpu.solver import OCP, SQPSolver
+from mpc_planner_tpu.solver.warmstart import (
+    initialize_warmstart,
+    initialize_with_braking,
+    initialize_with_state,
+)
+from mpc_planner_tpu.types import ModuleData, RealTimeData, State
+
+
+def _goal_setup(cfg, goal=(4.0, 1.0)):
+    model = SecondOrderUnicycleModel()
+    mgr = ModuleManager()
+    base = mgr.add_module(MPCBaseModule(cfg))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mgr.add_module(GoalModule(cfg))
+    ocp = OCP(model, mgr, cfg)
+    solver = SQPSolver(ocp)
+    data = RealTimeData()
+    data.goal = np.array(goal)
+    data.goal_received = True
+    pblock = ParameterBlock(ocp.params, cfg.N + 1)
+    mgr.set_parameters_all(data, ModuleData(), pblock)
+    return model, ocp, solver, pblock
+
+
+def test_ocp_dims(cfg):
+    """OCP dims for the basic configuration (ref test_acados.py asserts
+    nh=12, nx=5, nu=2 for ellipsoid config with 12 obstacles)."""
+    model = ContouringSecondOrderUnicycleModel()
+    mgr = ModuleManager()
+    mgr.add_module(EllipsoidConstraintModule(cfg))
+    ocp = OCP(model, mgr, cfg)
+    assert ocp.nx == 5
+    assert ocp.nu == 2
+    assert ocp.nh == cfg.max_obstacles * cfg.n_discs == 12
+
+
+def test_goal_solve_moves_toward_goal(cfg):
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    res = solver.solve(Z0, pblock.data, state.as_array())
+    assert int(res.exit_code) == 1
+    Z = np.asarray(res.Z)
+    start_d = np.linalg.norm([4.0, 1.0])
+    end_d = np.linalg.norm(Z[-1, 2:4] - np.array([4.0, 1.0]))
+    assert end_d < start_d  # moved toward the goal
+    assert float(res.res_eq) < 1e-2  # dynamically feasible
+
+
+def test_goal_solve_is_locally_optimal(cfg):
+    """Perturbing the optimal controls (within bounds) and re-rolling out
+    the dynamics must not decrease the nonlinear objective."""
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    res = solver.solve(Z0, pblock.data, state.as_array(), num_iterations=15)
+    Z = np.asarray(res.Z)
+    P = jnp.asarray(pblock.data, jnp.float32)
+    pobj = float(ocp.total_cost(jnp.asarray(Z, jnp.float32), P))
+
+    lb = np.asarray(model.lower_bound[: model.nu])
+    ub = np.asarray(model.upper_bound[: model.nu])
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(state.as_array(), jnp.float32)
+    for _ in range(6):
+        U = Z[: cfg.N, : model.nu] + rng.normal(0, 0.05, (cfg.N, model.nu))
+        U = np.clip(U, lb, ub)
+        X = ocp.rollout(x0, jnp.asarray(U, jnp.float32), P)
+        Z_pert = jnp.concatenate(
+            [jnp.pad(jnp.asarray(U, jnp.float32), ((0, 1), (0, 0))), X], axis=1
+        )
+        pobj_pert = float(ocp.total_cost(Z_pert, P))
+        assert pobj_pert >= pobj - 1e-3
+
+
+def test_solution_respects_bounds(cfg):
+    model, ocp, solver, pblock = _goal_setup(cfg, goal=(50.0, 0.0))
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    res = solver.solve(Z0, pblock.data, state.as_array())
+    Z = np.asarray(res.Z)
+    lb = np.asarray(model.lower_bound)
+    ub = np.asarray(model.upper_bound)
+    # inputs at stages 0..N-1 within bounds (small IP tolerance)
+    assert np.all(Z[:-1, : model.nu] >= lb[: model.nu] - 1e-3)
+    assert np.all(Z[:-1, : model.nu] <= ub[: model.nu] + 1e-3)
+    # velocity bound (index 5): v <= 3
+    assert np.all(Z[1:, model.index("v")] <= ub[model.index("v")] + 1e-3)
+
+
+def test_xinit_pinned(cfg):
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    state.set("x", 1.0)
+    state.set("y", -2.0)
+    state.set("v", 0.5)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    res = solver.solve(Z0, pblock.data, state.as_array())
+    Z = np.asarray(res.Z)
+    np.testing.assert_allclose(Z[0, model.nu :], state.as_array(), atol=1e-5)
+
+
+def test_batch_solve_matches_single(cfg):
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    x0 = state.as_array()
+    single = solver.solve(Z0, pblock.data, x0)
+    B = 4
+    batch = solver.solve_batch(
+        np.tile(Z0[None], (B, 1, 1)),
+        np.tile(pblock.data[None], (B, 1, 1)),
+        np.tile(x0[None], (B, 1)),
+    )
+    assert batch.Z.shape[0] == B
+    np.testing.assert_allclose(np.asarray(batch.Z[0]), np.asarray(single.Z), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batch.Z[3]), np.asarray(batch.Z[0]), atol=1e-6)
+
+
+def test_warmstart_shift_forward():
+    """Shift semantics (ref acados_solver_interface.cpp:344-376 and
+    test_solver.cpp warmstart test)."""
+    model = SecondOrderUnicycleModel()
+    N = 6
+    Z_prev = np.arange((N + 1) * model.nvar, dtype=float).reshape(N + 1, model.nvar)
+    state = State(model)
+    state.set("x", 42.0)
+    Z = initialize_warmstart(model, N, Z_prev, state, shift_forward=True)
+    assert Z[0, model.index("x")] == 42.0
+    np.testing.assert_allclose(Z[1], Z_prev[2])
+    np.testing.assert_allclose(Z[N - 1], Z_prev[N - 1])
+    np.testing.assert_allclose(Z[N], Z_prev[N - 1])
+
+
+def test_braking_initialization():
+    """Braking plan decelerates to zero (ref :303-342)."""
+    model = ContouringSecondOrderUnicycleModel()
+    N, dt = 10, 0.2
+    state = State(model)
+    state.set("v", 2.0)
+    state.set("psi", 0.0)
+    Z = initialize_with_braking(model, N, dt, state, deceleration=3.0)
+    v = Z[:, model.index("v")]
+    assert v[0] == 2.0
+    assert np.all(np.diff(v) <= 1e-9)
+    assert v[-1] == 0.0
+    x = Z[:, model.index("x")]
+    assert np.all(np.diff(x) >= -1e-9)  # moves forward while braking
+    np.testing.assert_allclose(Z[:, model.index("a")], -3.0)
