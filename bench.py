@@ -1,0 +1,81 @@
+"""Benchmark: batched T-MPC++-scene MPC solves on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric per BASELINE.md: MPC solves/sec/chip at N=20 on the Jackal
+T-MPC++ corridor scene (contouring + guidance/ellipsoid constraints,
+12 obstacles), 10 SQP-RTI iterations per solve — the reference's
+per-cycle workload (settings.yaml iterations: 10).
+
+Baseline: the reference runs 5 parallel planners at 20-30 Hz on CPU
+(README.md:52, guidance_planner.yaml n_paths=4 + T-MPC++), i.e. ~100-150
+full MPC solves/sec. vs_baseline uses 150 solves/sec (the generous end).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SOLVES_PER_SEC = 150.0  # 5 planners x 30 Hz (reference, CPU)
+BATCH = 256
+REPS = 15
+RTI_ITERATIONS = 10
+
+
+def main():
+    from __graft_entry__ import _build
+    from mpc_planner_tpu.utils.config import default_config
+
+    cfg = default_config(N=20)
+    model, ocp, solver, Z0, P, xinit = _build(cfg)
+
+    rng = np.random.default_rng(0)
+    Z0b = np.tile(Z0[None], (BATCH, 1, 1)).astype(np.float32)
+    # Perturb warmstarts like distinct homotopy guesses
+    Z0b[:, 1:, model.nu :] += rng.normal(0, 0.05, Z0b[:, 1:, model.nu :].shape).astype(
+        np.float32
+    )
+    Pb = np.tile(P[None], (BATCH, 1, 1)).astype(np.float32)
+    xb = np.tile(xinit[None], (BATCH, 1)).astype(np.float32)
+
+    import jax
+
+    # Warm up / compile
+    res = solver.solve_batch(Z0b, Pb, xb, num_iterations=RTI_ITERATIONS)
+    jax.block_until_ready(res)
+    n_success = int(np.sum(np.asarray(res.exit_code) == 1))
+    print(f"# warmup: {n_success}/{BATCH} feasible", file=sys.stderr)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        res = solver.solve_batch(Z0b, Pb, xb, num_iterations=RTI_ITERATIONS)
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+
+    times = np.asarray(times)
+    solves_per_sec = BATCH / float(np.mean(times))
+    p99_ms = float(np.percentile(times, 99) * 1e3)
+    print(
+        f"# batch={BATCH} mean={np.mean(times)*1e3:.1f}ms p99={p99_ms:.1f}ms "
+        f"rti={RTI_ITERATIONS}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "tmpc_solves_per_sec_per_chip",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

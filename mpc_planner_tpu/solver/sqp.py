@@ -187,6 +187,14 @@ class SQPSolver:
 
     # -- SQP-RTI loop -----------------------------------------------------
     def _solve(self, Z0, P, xinit, num_iterations: int):
+        # TPU matmuls default to bf16 passes; the Riccati recursion loses
+        # positive-definiteness at bf16 and Cholesky NaNs. Force true-f32
+        # matmuls for everything traced inside the solver (tiny matrices —
+        # the cost is negligible, the solve is latency-bound).
+        with jax.default_matmul_precision("highest"):
+            return self._solve_inner(Z0, P, xinit, num_iterations)
+
+    def _solve_inner(self, Z0, P, xinit, num_iterations: int):
         ocp = self.ocp
         nu, nx = ocp.nu, ocp.nx
 

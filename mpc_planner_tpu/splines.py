@@ -30,8 +30,12 @@ def _blend_weights(s, s_starts):
     if num_segments == 1:
         return jnp.ones(jnp.shape(s) + (1,))
     # lambda_i for i = 0..n-2 gates segment i against everything after it;
-    # it uses segment (i+1)'s start.
-    lam = 1.0 / (1.0 + jnp.exp((s[..., None] - s_starts[1:] + 0.02) / 0.1))  # [..., n-1]
+    # it uses segment (i+1)'s start. jax.nn.sigmoid is the overflow-safe
+    # form of the reference's 1/(1+exp(t)) (spline.py:37) — the naive
+    # expression yields inf/inf = NaN under autodiff for |t| > ~88 in f32.
+    import jax
+
+    lam = jax.nn.sigmoid(-(s[..., None] - s_starts[1:] + 0.02) / 0.1)  # [..., n-1]
     one = jnp.ones_like(lam[..., :1])
     lam_full = jnp.concatenate([lam, one], axis=-1)  # [..., n]; last = 1
     keep = jnp.concatenate([one, 1.0 - lam], axis=-1)  # prod_{j<i}(1-lambda_j)
