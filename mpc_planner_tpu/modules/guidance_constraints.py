@@ -44,6 +44,9 @@ class GuidanceConstraintModule(ConstraintModule):
         # Set by the planner/guidance layer each cycle:
         self.guidance = None  # GuidancePlanner instance
         self._selected_class = -1
+        self._selected_planner = -1
+        self._trajectories = []
+        self._planner = None
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         # Own halfspaces (ref guidance_constraints.py:70-80): note the
@@ -72,11 +75,185 @@ class GuidanceConstraintModule(ConstraintModule):
         return out
 
     # -- host half ---------------------------------------------------------
-    # The batched optimize() is orchestrated by the Planner together with
-    # the guidance layer (mpc_planner_tpu/guidance/) and the batched solver;
-    # see planner.py. This module fills the *shared* (safety submodule)
-    # parameters; per-planner halfspaces are filled by the batched
-    # machinery in planner.py/t_mpc.py.
+    def attach(self, planner) -> None:
+        """Called by the Planner: gives the module the batched solver
+        (the reference passes a shared Solver into each module's ctor)."""
+        self._planner = planner
+
+    def update(self, state, data, module_data) -> None:
+        """Run the guidance layer (ref guidance_constraints.cpp:100-130:
+        global_guidance_->Update() inside update())."""
+        self.submodule.update(state, data, module_data)
+        self._trajectories = []
+        if module_data.path is None or data.obstacle_block is None:
+            return
+        if self.guidance is None:
+            from mpc_planner_tpu.guidance import GuidancePlanner
+
+            self.guidance = GuidancePlanner(self.cfg)
+        v_ref = self.cfg.weights.get("reference_velocity", 1.0)
+        self._trajectories = self.guidance.update(
+            state, module_data.path, data.obstacle_block, state.get("spline"), v_ref
+        )
+
+    def optimize(self, state, data, module_data):
+        """Batched parallel optimize + selection
+        (ref guidance_constraints.cpp:264-434; OpenMP loop :279 -> one
+        vmapped batch solve)."""
+        planner = getattr(self, "_planner", None)
+        if planner is None or not self._trajectories:
+            return None  # fall through to the default solver
+
+        import numpy as _np
+
+        cfg = self.cfg
+        model = planner.model
+        N = cfg.N
+        B = self.n_planners
+        nvar = model.nvar
+        base_P = module_data.pblock.data  # [N+1, npar] main fill
+        Z_main = module_data.warmstart
+
+        trajs = list(self._trajectories)
+        n_guided = B - (1 if self.use_tmpc_pp else 0)
+        while len(trajs) < n_guided:  # pad with duplicates for static B
+            trajs.append(trajs[-1])
+        trajs = trajs[:n_guided]
+
+        Z0 = _np.zeros((B, N + 1, nvar), dtype=_np.float32)
+        P = _np.broadcast_to(base_P[None], (B,) + base_P.shape).copy()
+
+        robot_radius = cfg.robot_radius
+        blk = data.obstacle_block
+        a1_idx = module_data.pblock.registry.bundle_indices("lin_constraint_a1")
+        a2_idx = module_data.pblock.registry.bundle_indices("lin_constraint_a2")
+        b_idx = module_data.pblock.registry.bundle_indices("lin_constraint_b")
+
+        for i, traj in enumerate(trajs):
+            Z0[i] = self._warmstart_from_guidance(model, traj, Z_main)
+            if self.enable_constraints:
+                a1, a2, b = self._topology_halfspaces(traj, blk, robot_radius)
+                P[i][1:N, a1_idx[: blk.position.shape[0]]] = a1
+                P[i][1:N, a2_idx[: blk.position.shape[0]]] = a2
+                P[i][1:N, b_idx[: blk.position.shape[0]]] = b
+                P[i][N] = P[i][N - 1]
+        if self.use_tmpc_pp:
+            # T-MPC++: the non-guided planner with the main warmstart and
+            # no homotopy constraints (ref :286-298 "original planner")
+            Z0[B - 1] = Z_main
+
+        xinit = _np.tile(module_data.xinit[None], (B, 1))
+        res = planner.solver.solve_batch(
+            Z0, P, xinit, num_iterations=module_data.num_iterations
+        )
+
+        exit_codes = _np.asarray(res.exit_code)
+        pobj = _np.asarray(res.pobj, dtype=float).copy()
+
+        # Consistency bonus for the previously selected class (ref :358-359)
+        for i, traj in enumerate(trajs):
+            if traj.previously_selected:
+                pobj[i] *= cfg.t_mpc.selection_weight_consistency
+
+        feasible = exit_codes == 1
+        if not feasible.any():
+            self.guidance.override_selected(None)
+            return {"Z": Z_main, "exit_code": int(exit_codes[0]), "pobj": float("inf")}
+
+        masked = _np.where(feasible, pobj, _np.inf)
+        best = int(_np.argmin(masked))
+        self._selected_planner = best
+        if best < len(trajs):
+            self.guidance.override_selected(trajs[best])
+        else:
+            self.guidance.override_selected(None)
+
+        return {
+            "Z": _np.asarray(res.Z[best]),
+            "exit_code": 1,
+            "pobj": float(_np.asarray(res.pobj)[best]),
+            "batch": res,
+            "selected": best,
+        }
+
+    def _warmstart_from_guidance(self, model, traj, Z_main) -> "np.ndarray":
+        """initializeSolverWithGuidance (ref :390-414): x, y from the
+        guidance spline, psi from its direction, v from spacing; inputs
+        reconstructed by finite differences so the warmstart is close to
+        dynamically consistent (the reference inherits the copied solver's
+        inputs instead — a worse interior-point start)."""
+        import numpy as _np
+
+        from mpc_planner_tpu.solver.warmstart import clip_to_bounds
+
+        N = self.cfg.N
+        dt = self.cfg.dt
+        Z = _np.array(Z_main, dtype=float, copy=True)
+        pos = traj.positions
+        d = _np.diff(pos, axis=0)
+        step = _np.linalg.norm(d, axis=-1)
+        # psi from direction; carry the previous value through ~zero steps
+        psi = _np.empty(N + 1)
+        psi[0] = Z_main[0, model.index("psi")] if "psi" in model.states else 0.0
+        for k in range(1, N + 1):
+            psi[k] = _np.arctan2(d[k - 1, 1], d[k - 1, 0]) if step[k - 1] > 1e-3 else psi[k - 1]
+        speed = _np.concatenate([step / dt, step[-1:] / dt])
+
+        Z[:, model.index("x")] = pos[:, 0]
+        Z[:, model.index("y")] = pos[:, 1]
+        try:
+            Z[:, model.index("psi")] = psi
+            Z[:, model.index("v")] = speed
+        except KeyError:
+            pass
+        try:
+            Z[:, model.index("spline")] = traj.s
+        except KeyError:
+            pass
+        # Inputs by finite differences
+        try:
+            a = _np.diff(speed) / dt
+            Z[:-1, model.index("a")] = a
+            Z[-1, model.index("a")] = 0.0
+        except KeyError:
+            pass
+        try:
+            dpsi = _np.mod(_np.diff(psi) + _np.pi, 2 * _np.pi) - _np.pi
+            Z[:-1, model.index("w")] = dpsi / dt
+            Z[-1, model.index("w")] = 0.0
+        except KeyError:
+            pass
+        return clip_to_bounds(model, Z)
+
+    def _topology_halfspaces(self, traj, blk, robot_radius):
+        """Separating halfspaces w.r.t. the guidance trajectory, the
+        LinearizedConstraints topology mode (linearized_constraints.cpp:
+        43-47, 85-105: radius 1e-3, robot point)."""
+        import numpy as _np
+
+        N = self.cfg.N
+        pos = traj.positions[1:N]  # stages 1..N-1
+        obst = blk.pred_position[:, : N - 1]  # [M, N-1, 2] (step k-1 for stage k)
+        diff = obst - pos[None, :, :]
+        dist = _np.linalg.norm(diff, axis=-1)
+        dist = _np.maximum(dist, 1e-9)
+        a1 = (diff[..., 0] / dist).T  # [N-1, M]
+        a2 = (diff[..., 1] / dist).T
+        b = (
+            a1 * obst[..., 0].T
+            + a2 * obst[..., 1].T
+            - (1e-3 + robot_radius)
+        )
+        return a1, a2, b
+
+    def is_objective_reached(self, state, data) -> bool:
+        return self.submodule.is_objective_reached(state, data)
+
+    def reset(self) -> None:
+        self._trajectories = []
+        if self.guidance is not None:
+            self.guidance.reset()
+        self.submodule.reset()
 
     def set_parameters(self, data, module_data, pblock: ParameterBlock) -> None:
         # Default fill: inactive own halfspaces + submodule parameters.

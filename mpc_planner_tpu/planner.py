@@ -52,6 +52,12 @@ class Planner:
         self._module_data = ModuleData()
         self._iter_time_estimate: Optional[float] = None  # s per RTI iteration
 
+        # Give modules a handle to the solver (the reference passes the
+        # shared Solver into each module constructor, modules.h)
+        for module in self.modules:
+            if hasattr(module, "attach"):
+                module.attach(self)
+
     # -- main cycle (ref planner.cpp:37-158) ------------------------------
     def solve_mpc(self, state: State, data: RealTimeData) -> PlannerOutput:
         was_feasible = self._output.success
@@ -93,6 +99,9 @@ class Planner:
                 self._finalize_terminal_row(pblock)
 
             num_iterations = self._iterations_for_budget(data)
+            module_data.pblock = pblock
+            module_data.xinit = xinit
+            module_data.num_iterations = num_iterations
 
             with PROFILER.scope("optimization"):
                 # Module optimize override chain (ref planner.cpp:126-134)
@@ -154,7 +163,15 @@ class Planner:
         if budget <= 0:
             return 1
         n = int(budget / self._iter_time_estimate)
-        return int(np.clip(n, 1, max_iter))
+        n = int(np.clip(n, 1, max_iter))
+        # Quantize to a small set: each distinct count is its own compiled
+        # executable, so an arbitrary count per cycle would thrash the
+        # compile cache (the reference's per-iteration cut-off has no such
+        # constraint, acados_solver_interface.cpp:108-116).
+        for q in (10, 5, 3, 2, 1):
+            if q <= min(n, max_iter):
+                return q
+        return 1
 
     def _update_iter_time(self, elapsed: float, iterations: int) -> None:
         per_iter = elapsed / max(iterations, 1)

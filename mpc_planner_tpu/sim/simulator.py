@@ -1,0 +1,172 @@
+"""Closed-loop simulator + experiment metrics.
+
+TPU-native replacement for the reference's Gazebo + pedestrian_simulator
+integration testing (SURVEY.md §4.3) and ExperimentUtil metric recording
+(mpc_planner/src/experiment_util.cpp:15-115): pedestrians move by
+constant velocity or social forces, the robot integrates the planned
+input, collisions/intrusions are measured every step, and per-experiment
+metrics (duration, collisions, completion) are aggregated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from mpc_planner_tpu.data_preparation import (
+    HostObstacle,
+    ensure_obstacle_size,
+    get_constant_velocity_prediction,
+    pack_obstacles,
+)
+from mpc_planner_tpu.types import RealTimeData, State
+
+
+@dataclass
+class Pedestrian:
+    position: np.ndarray
+    velocity: np.ndarray
+    radius: float = 0.4
+    goal: Optional[np.ndarray] = None
+
+
+@dataclass
+class SimResult:
+    """ExperimentUtil-style metrics (ref experiment_util.cpp:78-110)."""
+
+    duration: float = 0.0
+    completed: bool = False
+    collisions: int = 0
+    max_intrusion: float = 0.0
+    infeasible_cycles: int = 0
+    steps: int = 0
+    mean_velocity: float = 0.0
+    trajectory: List[np.ndarray] = field(default_factory=list)
+
+
+class ClosedLoopSimulator:
+    """Drives a Planner against simulated pedestrians."""
+
+    def __init__(self, planner, cfg, pedestrians: List[Pedestrian],
+                 reference_path: dict, social_forces: bool = False, seed: int = 0):
+        self.planner = planner
+        self.cfg = cfg
+        self.model = planner.model
+        self.pedestrians = pedestrians
+        self.reference_path = reference_path
+        self.social_forces = social_forces
+        self.rng = np.random.default_rng(seed)
+
+    def _make_data(self, state: State) -> RealTimeData:
+        cfg = self.cfg
+        data = RealTimeData()
+        data.robot_area = self.planner.default_robot_area()
+        data.reference_path = self.reference_path
+        xs = np.asarray(self.reference_path["x"])
+        data.goal = np.array([xs[-1], np.asarray(self.reference_path["y"])[-1]])
+        data.goal_received = True
+
+        obstacles = []
+        for i, p in enumerate(self.pedestrians):
+            o = HostObstacle(index=i, position=p.position.copy(), angle=0.0,
+                             radius=p.radius)
+            o.prediction = get_constant_velocity_prediction(
+                p.position, p.velocity, cfg.dt, cfg.N, cfg.probabilistic.enable
+            )
+            obstacles.append(o)
+        obstacles = ensure_obstacle_size(
+            obstacles, state, cfg.max_obstacles, cfg.N, cfg.dt, cfg.probabilistic.enable
+        )
+        data.dynamic_obstacles = obstacles
+        data.obstacle_block = pack_obstacles(obstacles, cfg.N)
+        data.ego_position = state.get_position()
+        return data
+
+    def _step_pedestrians(self, dt: float) -> None:
+        for p in self.pedestrians:
+            if self.social_forces:
+                # Light social-forces: goal attraction + pairwise repulsion
+                force = np.zeros(2)
+                if p.goal is not None:
+                    to_goal = p.goal - p.position
+                    d = np.linalg.norm(to_goal)
+                    if d > 1e-6:
+                        desired = to_goal / d * 1.3
+                        force += (desired - p.velocity) / 0.5
+                for q in self.pedestrians:
+                    if q is p:
+                        continue
+                    diff = p.position - q.position
+                    d = np.linalg.norm(diff)
+                    if 1e-6 < d < 2.0:
+                        force += diff / d * np.exp(-(d - 0.8) / 0.3) * 2.0
+                p.velocity = p.velocity + force * dt
+                speed = np.linalg.norm(p.velocity)
+                if speed > 1.8:
+                    p.velocity *= 1.8 / speed
+            p.position = p.position + p.velocity * dt
+
+    def _integrate_robot(self, state: State, a: float, w: float, dt: float) -> None:
+        import jax.numpy as jnp
+
+        z = np.zeros(self.model.nvar)
+        z[: self.model.nu] = 0.0
+        z[self.model.index("a")] = a
+        z[self.model.index("w")] = w
+        z[self.model.nu :] = state.as_array()
+        x_next = np.asarray(
+            self.model.discrete_dynamics(jnp.asarray(z), jnp.zeros(1), dt)
+        )
+        state.from_array(x_next)
+
+    def run(self, max_steps: int = 200, start: Optional[np.ndarray] = None) -> SimResult:
+        cfg = self.cfg
+        dt = cfg.dt
+        state = State(self.model)
+        if start is not None:
+            state.set("x", start[0])
+            state.set("y", start[1])
+
+        result = SimResult()
+        data = self._make_data(state)
+        self.planner.on_data_received(data, "reference_path")
+
+        velocities = []
+        for step in range(max_steps):
+            data = self._make_data(state)
+            out = self.planner.solve_mpc(state, data)
+
+            if out.success:
+                a = self.planner.get_solution(0, "a")
+                w = self.planner.get_solution(0, "w")
+            else:
+                # Open-loop braking fallback (ref ros1_jackalsimulator.cpp:191-201)
+                result.infeasible_cycles += 1
+                a = -cfg.deceleration_at_infeasible if state.get("v") > 0 else 0.0
+                w = 0.0
+
+            self._integrate_robot(state, a, w, dt)
+            self._step_pedestrians(dt)
+            velocities.append(state.get("v"))
+            result.trajectory.append(state.get_position())
+
+            # Collision metric (ref /feedback/collisions intrusion,
+            # ros1_jackalsimulator.cpp:380-386)
+            robot_r = cfg.robot_radius
+            for p in self.pedestrians:
+                dist = np.linalg.norm(state.get_position() - p.position)
+                intrusion = (robot_r + p.radius) - dist
+                if intrusion > 0:
+                    result.max_intrusion = max(result.max_intrusion, intrusion)
+                    result.collisions += 1
+
+            result.steps = step + 1
+            if self.planner.is_objective_reached(state, data):
+                result.completed = True
+                break
+
+        result.duration = result.steps * dt
+        result.mean_velocity = float(np.mean(velocities)) if velocities else 0.0
+        return result

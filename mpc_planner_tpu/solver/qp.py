@@ -3,25 +3,24 @@ hot loop.
 
 TPU-native replacement for the reference's acados + PARTIAL_CONDENSING_
 HPIPM QP step (SURVEY.md §2.4; options generate_acados_solver.py:143-176).
-Same mathematical structure as HPIPM: a primal-dual interior point method
-over the stagewise QP whose Newton systems are solved exactly by a
-backward/forward Riccati recursion (LQR factorization). Everything is
-fixed-iteration `lax.scan` so one jit compilation covers every control
-cycle, and the whole solver vmaps over a leading batch axis (T-MPC++
-planners x scenario draws — the reference's OpenMP threads,
-guidance_constraints.cpp:279, become this batch dimension).
+Same mathematical structure as HPIPM: a Mehrotra predictor-corrector
+primal-dual interior point method over the stagewise QP whose Newton
+systems are solved exactly by a backward/forward Riccati recursion. The
+Riccati factorization is computed ONCE per IP iteration and reused for
+the affine (predictor) and corrector solves. Primal and dual step sizes
+are separate — essential for infeasible warmstarts (an obstacle
+appearing on the previous trajectory), where a single coupled step size
+collapses. Everything is fixed-iteration `lax.scan` so one jit covers
+every control cycle, and the whole solver vmaps over a leading batch
+axis (T-MPC++ planners x scenario draws — the reference's OpenMP
+threads, guidance_constraints.cpp:279, become this batch dimension).
 
 Per stage k = 0..N-1 the QP is
     min  1/2 dz_k' H_k dz_k + g_k' dz_k  (+ terminal x-term at N)
     s.t. dx_{k+1} = A_k dx_k + B_k du_k + r_k
          lb_k <= D_k dz_k <= ub_k          (box rows + h-constraint rows)
-with dx_0 = 0 (x_0 pinned to xinit before linearization, mirroring
-acados' lbx_0 = ubx_0 = xinit, acados_solver_interface.cpp:124-126).
-
-Inequalities are two-sided with slacks (s_l, s_u) and multipliers
-(lam_l, lam_u); infinite bounds are masked rows (HPIPM masks them too).
-Eliminating (ds, dlam) yields a modified stage Hessian
-H + D' diag(lam_l/s_l + lam_u/s_u) D fed to the Riccati sweep.
+with dx_0 = 0 (x_0 pinned to xinit, acados_solver_interface.cpp:124-126).
+Infinite bounds are masked rows (HPIPM masks them too).
 """
 
 from __future__ import annotations
@@ -53,50 +52,56 @@ class QPSolution(NamedTuple):
     alpha_last: jnp.ndarray
 
 
-def _riccati_solve(H_bar, g_bar, A, B, r_eq, nu: int, nx: int, reg: float):
-    """Backward/forward Riccati for the equality-constrained Newton step.
+_S_MIN = 1e-7
+_W_MAX = 1e7
+_MU_FREEZE = 1e-9  # stop updating once converged (f32 overflow guard)
 
-    H_bar [N+1, nvar, nvar], g_bar [N+1, nvar]; terminal uses x-block.
-    Returns dz [N+1, nvar] with dz[0, nu:] = 0 and dz[N, :nu] = 0.
-    """
+
+def _riccati_factor(H_bar, A, B, nu: int, nx: int, reg: float):
+    """Backward Riccati factorization.
+
+    Returns per-stage (L, K, S_hat, P_next) with L = chol(R_hat) so that
+    linear solves for different gradients reuse the factorization
+    (predictor + corrector share it)."""
     N = A.shape[0]
-
     P_term = H_bar[N, nu:, nu:]
-    p_term = g_bar[N, nu:]
 
-    def backward(carry, inp):
-        P_next, p_next = carry
-        Hk, gk, Ak, Bk, rk = inp
+    def backward(P_next, inp):
+        Hk, Ak, Bk = inp
         R = Hk[:nu, :nu]
         S = Hk[:nu, nu:]
         Q = Hk[nu:, nu:]
-        r = gk[:nu]
-        q = gk[nu:]
-
-        pc = p_next + P_next @ rk
         PA = P_next @ Ak
         PB = P_next @ Bk
-        Q_hat = Q + Ak.T @ PA
-        R_hat = R + Bk.T @ PB
+        R_hat = R + Bk.T @ PB + reg * jnp.eye(nu, dtype=Hk.dtype)
         S_hat = S + Bk.T @ PA
-        q_hat = q + Ak.T @ pc
-        r_hat = r + Bk.T @ pc
-
-        R_hat = R_hat + reg * jnp.eye(nu, dtype=R_hat.dtype)
-        # Cholesky solve of the tiny [nu, nu] system
         L = jnp.linalg.cholesky(R_hat)
         K = -jax.scipy.linalg.cho_solve((L, True), S_hat)
-        kff = -jax.scipy.linalg.cho_solve((L, True), r_hat)
-
-        P = Q_hat + S_hat.T @ K
+        P = Q + Ak.T @ PA + S_hat.T @ K
         P = 0.5 * (P + P.T)
-        p = q_hat + S_hat.T @ kff
-        return (P, p), (K, kff)
+        return P, (L, K, S_hat, P_next)
 
-    (_, _), (Ks, kffs) = jax.lax.scan(
-        backward,
-        (P_term, p_term),
-        (H_bar[:N], g_bar[:N], A, B, r_eq),
+    _, factors = jax.lax.scan(backward, P_term, (H_bar[:N], A, B), reverse=True)
+    return factors
+
+
+def _riccati_linear(factors, g_bar, r_eq, A, B, nu: int, nx: int):
+    """Linear solve for a given gradient using a stored factorization."""
+    Ls, Ks, S_hats, P_nexts = factors
+    N = A.shape[0]
+    p_term = g_bar[N, nu:]
+
+    def backward(p_next, inp):
+        gk, Ak, Bk, rk, L, K, S_hat, P_next = inp
+        pc = p_next + P_next @ rk
+        r_hat = gk[:nu] + Bk.T @ pc
+        q_hat = gk[nu:] + Ak.T @ pc
+        kff = -jax.scipy.linalg.cho_solve((L, True), r_hat)
+        p = q_hat + S_hat.T @ kff
+        return p, kff
+
+    _, kffs = jax.lax.scan(
+        backward, p_term, (g_bar[:N], A, B, r_eq, Ls, Ks, S_hats, P_nexts),
         reverse=True,
     )
 
@@ -106,11 +111,10 @@ def _riccati_solve(H_bar, g_bar, A, B, r_eq, nu: int, nx: int, reg: float):
         dx_next = Ak @ dx + Bk @ du + rk
         return dx_next, (du, dx)
 
-    dx0 = jnp.zeros((A.shape[1],), dtype=H_bar.dtype)
+    dx0 = jnp.zeros((nx,), dtype=g_bar.dtype)
     dxN, (dus, dxs) = jax.lax.scan(forward, dx0, (Ks, kffs, A, B, r_eq))
-
-    dz_run = jnp.concatenate([dus, dxs], axis=-1)  # [N, nvar]
-    dz_term = jnp.concatenate([jnp.zeros((nu,), dtype=H_bar.dtype), dxN])
+    dz_run = jnp.concatenate([dus, dxs], axis=-1)
+    dz_term = jnp.concatenate([jnp.zeros((nu,), dtype=g_bar.dtype), dxN])
     return jnp.concatenate([dz_run, dz_term[None]], axis=0)
 
 
@@ -118,13 +122,13 @@ def solve_qp(
     data: QPData,
     nu: int,
     nx: int,
-    iterations: int = 18,
+    iterations: int = 12,
     mu0: float = 1e1,
-    mu_min: float = 1e-9,
+    mu_min: float = 1e-12,
     reg: float = 1e-7,
     tau: float = 0.995,
 ) -> QPSolution:
-    """Primal-dual IP solve with fixed iteration count (jit-stable)."""
+    """Mehrotra predictor-corrector IP solve, fixed iteration count."""
     Np1, nrows, nvar = data.D.shape
     dtype = data.H.dtype
 
@@ -138,34 +142,26 @@ def solve_qp(
     s_u = jnp.where(mask_u > 0, jnp.maximum(data.ub, 1e-2), 1.0)
     lam_l = jnp.where(mask_l > 0, mu0 / s_l, 0.0)
     lam_u = jnp.where(mask_u > 0, mu0 / s_u, 0.0)
-    mu = jnp.asarray(mu0, dtype=dtype)
+
+    def _ftb(v, dv, mask, t):
+        """Fraction-to-boundary step bound: max alpha s.t. v + a*dv >= (1-t)v."""
+        ratio = jnp.where((dv < 0) & (mask > 0), -t * v / (dv - 1e-30), 1.0)
+        return jnp.clip(jnp.min(ratio), 0.0, 1.0)
 
     def ip_iter(carry, _):
-        zeta, s_l, s_u, lam_l, lam_u, mu = carry
+        zeta, s_l, s_u, lam_l, lam_u = carry
+
+        mu = (jnp.sum(s_l * lam_l * mask_l) + jnp.sum(s_u * lam_u * mask_u)) / n_active
+        converged = mu < _MU_FREEZE
 
         e = jnp.einsum("krv,kv->kr", data.D, zeta)
         rho_l = (e - data.lb - s_l) * mask_l
         rho_u = (data.ub - e - s_u) * mask_u
-        rc_l = (mu - s_l * lam_l) * mask_l
-        rc_u = (mu - s_u * lam_u) * mask_u
 
-        w = mask_l * lam_l / s_l + mask_u * lam_u / s_u  # [N+1, nrows]
+        w = jnp.clip(mask_l * lam_l / s_l + mask_u * lam_u / s_u, 0.0, _W_MAX)
         H_bar = data.H + jnp.einsum("krv,kr,krw->kvw", data.D, w, data.D)
+        factors = _riccati_factor(H_bar, data.A, data.B, nu, nx, reg)
 
-        # Stationarity + elimination terms
-        coef = (
-            -mask_l * lam_l
-            + mask_u * lam_u
-            - mask_l * (rc_l - lam_l * rho_l) / s_l
-            + mask_u * (rc_u - lam_u * rho_u) / s_u
-        )
-        g_bar = (
-            data.g
-            + jnp.einsum("kvw,kw->kv", data.H, zeta)
-            + jnp.einsum("krv,kr->kv", data.D, coef)
-        )
-
-        # Equality residual at current iterate
         r_eq = (
             jnp.einsum("kxy,ky->kx", data.A, zeta[:-1, nu:])
             + jnp.einsum("kxu,ku->kx", data.B, zeta[:-1, :nu])
@@ -173,38 +169,76 @@ def solve_qp(
             - zeta[1:, nu:]
         )
 
-        dz = _riccati_solve(H_bar, g_bar, data.A, data.B, r_eq, nu, nx, reg)
+        g_stat = data.g + jnp.einsum("kvw,kw->kv", data.H, zeta)
 
-        Ddz = jnp.einsum("krv,kv->kr", data.D, dz)
-        ds_l = (Ddz + rho_l) * mask_l
-        ds_u = (rho_u - Ddz) * mask_u
-        dlam_l = ((rc_l - lam_l * ds_l) / s_l) * mask_l
-        dlam_u = ((rc_u - lam_u * ds_u) / s_u) * mask_u
+        def directions(rc_l, rc_u):
+            coef = (
+                -mask_l * lam_l
+                + mask_u * lam_u
+                - mask_l * (rc_l - lam_l * rho_l) / s_l
+                + mask_u * (rc_u - lam_u * rho_u) / s_u
+            )
+            g_bar = g_stat + jnp.einsum("krv,kr->kv", data.D, coef)
+            dz = _riccati_linear(factors, g_bar, r_eq, data.A, data.B, nu, nx)
+            Ddz = jnp.einsum("krv,kv->kr", data.D, dz)
+            ds_l = (Ddz + rho_l) * mask_l
+            ds_u = (rho_u - Ddz) * mask_u
+            dlam_l = ((rc_l - lam_l * ds_l) / s_l) * mask_l
+            dlam_u = ((rc_u - lam_u * ds_u) / s_u) * mask_u
+            return dz, ds_l, ds_u, dlam_l, dlam_u
 
-        # Fraction-to-boundary step size (single alpha, HPIPM-style)
-        def ftb(v, dv, mask):
-            ratio = jnp.where((dv < 0) & (mask > 0), -tau * v / (dv - 1e-30), 1.0)
-            return jnp.min(ratio)
+        # Predictor (affine, mu target = 0)
+        rc_l_aff = (-s_l * lam_l) * mask_l
+        rc_u_aff = (-s_u * lam_u) * mask_u
+        dz_a, ds_l_a, ds_u_a, dl_l_a, dl_u_a = directions(rc_l_aff, rc_u_aff)
 
-        alpha = jnp.minimum(
-            jnp.minimum(ftb(s_l, ds_l, mask_l), ftb(s_u, ds_u, mask_u)),
-            jnp.minimum(ftb(lam_l, dlam_l, mask_l), ftb(lam_u, dlam_u, mask_u)),
+        a_p_aff = jnp.minimum(_ftb(s_l, ds_l_a, mask_l, 1.0), _ftb(s_u, ds_u_a, mask_u, 1.0))
+        a_d_aff = jnp.minimum(_ftb(lam_l, dl_l_a, mask_l, 1.0), _ftb(lam_u, dl_u_a, mask_u, 1.0))
+        mu_aff = (
+            jnp.sum((s_l + a_p_aff * ds_l_a) * (lam_l + a_d_aff * dl_l_a) * mask_l)
+            + jnp.sum((s_u + a_p_aff * ds_u_a) * (lam_u + a_d_aff * dl_u_a) * mask_u)
+        ) / n_active
+        sigma = jnp.clip((mu_aff / (mu + 1e-30)) ** 3, 0.0, 1.0)
+
+        # Corrector (centering + second-order correction)
+        rc_l_cor = (sigma * mu - s_l * lam_l - ds_l_a * dl_l_a) * mask_l
+        rc_u_cor = (sigma * mu - s_u * lam_u - ds_u_a * dl_u_a) * mask_u
+        dz, ds_l, ds_u, dlam_l, dlam_u = directions(rc_l_cor, rc_u_cor)
+
+        a_p = jnp.minimum(_ftb(s_l, ds_l, mask_l, tau), _ftb(s_u, ds_u, mask_u, tau))
+        a_d = jnp.minimum(_ftb(lam_l, dlam_l, mask_l, tau), _ftb(lam_u, dlam_u, mask_u, tau))
+
+        # Freeze the iterate once converged OR diverged. Converged: extra
+        # fixed-count iterations on a solved QP drive lam/s ratios past f32
+        # range and NaN the sweep. Diverged (infeasible QP — legitimate in
+        # hard scenes; HPIPM fails with a status the same way): duals blow
+        # up, mu climbs — stop before overflow and let the SQP's res_eq
+        # check report failure (acados_solver_interface.cpp:176-181).
+        bad = converged | (mu > 1e6) | ~jnp.isfinite(mu)
+        finite_step = (
+            jnp.all(jnp.isfinite(dz))
+            & jnp.all(jnp.isfinite(dlam_l))
+            & jnp.all(jnp.isfinite(dlam_u))
         )
-        alpha = jnp.clip(alpha, 0.0, 1.0)
+        a_p = jnp.where(bad | ~finite_step, 0.0, a_p)
+        a_d = jnp.where(bad | ~finite_step, 0.0, a_d)
 
-        zeta = zeta + alpha * dz
-        s_l = jnp.where(mask_l > 0, jnp.maximum(s_l + alpha * ds_l, 1e-12), 1.0)
-        s_u = jnp.where(mask_u > 0, jnp.maximum(s_u + alpha * ds_u, 1e-12), 1.0)
-        lam_l = jnp.where(mask_l > 0, jnp.maximum(lam_l + alpha * dlam_l, 0.0), 0.0)
-        lam_u = jnp.where(mask_u > 0, jnp.maximum(lam_u + alpha * dlam_u, 0.0), 0.0)
+        zeta = zeta + a_p * dz
+        s_l = jnp.where(mask_l > 0, jnp.maximum(s_l + a_p * ds_l, _S_MIN), 1.0)
+        s_u = jnp.where(mask_u > 0, jnp.maximum(s_u + a_p * ds_u, _S_MIN), 1.0)
+        lam_l = jnp.where(
+            mask_l > 0, jnp.clip(lam_l + a_d * dlam_l, 0.0, _W_MAX), 0.0
+        )
+        lam_u = jnp.where(
+            mask_u > 0, jnp.clip(lam_u + a_d * dlam_u, 0.0, _W_MAX), 0.0
+        )
 
-        mu_meas = (jnp.sum(s_l * lam_l * mask_l) + jnp.sum(s_u * lam_u * mask_u)) / n_active
-        sigma = jnp.maximum(0.05, (1.0 - alpha) ** 3)
-        mu = jnp.maximum(sigma * mu_meas, mu_min)
+        return (zeta, s_l, s_u, lam_l, lam_u), a_p
 
-        return (zeta, s_l, s_u, lam_l, lam_u, mu), alpha
-
-    (zeta, s_l, s_u, lam_l, lam_u, mu), alphas = jax.lax.scan(
-        ip_iter, (zeta, s_l, s_u, lam_l, lam_u, mu), None, length=iterations
+    (zeta, s_l, s_u, lam_l, lam_u), alphas = jax.lax.scan(
+        ip_iter, (zeta, s_l, s_u, lam_l, lam_u), None, length=iterations
     )
-    return QPSolution(dz=zeta, mu=mu, alpha_last=alphas[-1])
+    mu_final = (
+        jnp.sum(s_l * lam_l * mask_l) + jnp.sum(s_u * lam_u * mask_u)
+    ) / n_active
+    return QPSolution(dz=zeta, mu=mu_final, alpha_last=alphas[-1])

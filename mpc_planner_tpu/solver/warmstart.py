@@ -19,6 +19,16 @@ def initialize_with_state(model, N: int, state) -> np.ndarray:
     return Z
 
 
+def clip_to_bounds(model, Z: np.ndarray) -> np.ndarray:
+    """Clip a warmstart into the model's box bounds. The reference leaves
+    e.g. a = -3 outside the [-2, 2] input bound in its braking plan
+    (deceleration_at_infeasible vs solver_model.py bounds) — a needlessly
+    infeasible interior-point start."""
+    lb = np.asarray(model.lower_bound)
+    ub = np.asarray(model.upper_bound)
+    return np.clip(Z, lb, ub)
+
+
 def initialize_with_braking(model, N: int, dt: float, state, deceleration: float) -> np.ndarray:
     """Constant-deceleration straight-line plan (ref :303-342)."""
     Z = initialize_with_state(model, N, state)
@@ -44,7 +54,7 @@ def initialize_with_braking(model, N: int, dt: float, state, deceleration: float
         spline += v * dt
         v = max(v + a * dt, 0.0)
         set_row(k, x, y, v, spline)
-    return Z
+    return clip_to_bounds(model, Z)
 
 
 def initialize_warmstart(model, N: int, Z_prev: np.ndarray, state,

@@ -219,7 +219,13 @@ class ModuleData:
         self.path_width_right = None  # CubicSpline
         self.current_path_segment: int = 0
         self.warmstart: Optional[np.ndarray] = None  # [N+1, nvar] ego prediction
+        self.warmstart_xy: Optional[np.ndarray] = None  # [N+1, 2]
+        self.warmstart_psi: Optional[np.ndarray] = None  # [N+1]
         self.warmstart_spline: Optional[np.ndarray] = None  # [N+1] predicted progress
+        # Set by the planner before the module optimize chain:
+        self.pblock = None  # ParameterBlock (main fill)
+        self.xinit: Optional[np.ndarray] = None  # [nx]
+        self.num_iterations: int = 10
 
 
 def dummy_obstacles(

@@ -168,4 +168,6 @@ def test_braking_initialization():
     assert v[-1] == 0.0
     x = Z[:, model.index("x")]
     assert np.all(np.diff(x) >= -1e-9)  # moves forward while braking
-    np.testing.assert_allclose(Z[:, model.index("a")], -3.0)
+    # Stored inputs are clipped into the model bounds (the -3 deceleration
+    # exceeds the [-2, 2] input bound; see clip_to_bounds docstring)
+    np.testing.assert_allclose(Z[:, model.index("a")], model.lower_bound[0])
