@@ -30,6 +30,8 @@ class ScenarioConstraintModule(ConstraintModule):
         self.n_constraints = cfg.scenario_constraints.n_constraints
         self.num_constraints = self.n_constraints * self.n_discs
         self.use_slack = True
+        self._planner = None
+        self._sample_seed = 0
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         for d in range(self.n_discs):
@@ -64,9 +66,101 @@ class ScenarioConstraintModule(ConstraintModule):
         return out
 
     # -- host half ---------------------------------------------------------
-    # Scenario sampling + halfspace construction + the batched parallel
-    # solve are orchestrated by the Planner via mpc_planner_tpu/scenario.py;
-    # this fills inactive defaults when running without scenario data.
+    def attach(self, planner) -> None:
+        self._planner = planner
+
+    def on_data_received(self, data, data_name: str) -> None:
+        # Fresh sample draw when new obstacle data arrives (ref
+        # scenario_constraints.cpp:114-129 draws per-solver samples)
+        if data_name == "dynamic obstacles":
+            self._sample_seed += 1
+
+    def optimize(self, state, data, module_data):
+        """SH-MPC batched parallel optimize (ref scenario_constraints.cpp:
+        58-107): per-solver scenario draws -> tightest-halfspace selection
+        -> parallel solves -> best-cost feasible winner."""
+        planner = getattr(self, "_planner", None)
+        blk = data.obstacle_block
+        if planner is None or blk is None:
+            return None
+
+        import numpy as _np
+
+        cfg = self.cfg
+        model = planner.model
+        N = cfg.N
+        S = cfg.scenario_constraints.n_samples
+        B = cfg.scenario_constraints.parallel_solvers
+        M = blk.position.shape[0]
+        nC = self.n_constraints
+
+        rng = _np.random.default_rng(self._sample_seed)
+        Z_main = module_data.warmstart
+        p_ws = module_data.warmstart_xy[1 : N]  # [N-1, 2] stages 1..N-1
+
+        base_P = module_data.pblock.data
+        P = _np.broadcast_to(base_P[None], (B,) + base_P.shape).copy()
+        Z0 = _np.tile(_np.asarray(Z_main, dtype=_np.float32)[None], (B, 1, 1))
+
+        robot_r = cfg.robot_radius
+        a1_idx = module_data.pblock.registry.bundle_indices("scenario_a1")
+        a2_idx = module_data.pblock.registry.bundle_indices("scenario_a2")
+        b_idx = module_data.pblock.registry.bundle_indices("scenario_b")
+
+        for s_id in range(B):
+            # Sample obstacle positions over the horizon:
+            # mean + rotated Gaussian noise (ref scenario_module sampling
+            # from Gaussian predictions, IntegrateAndTranslateToMeanAndVariance)
+            noise = rng.standard_normal((S, M, N - 1, 2))
+            cos_a = _np.cos(blk.pred_angle[:, : N - 1])
+            sin_a = _np.sin(blk.pred_angle[:, : N - 1])
+            ex = noise[..., 0] * blk.pred_major[None, :, : N - 1]
+            ey = noise[..., 1] * blk.pred_minor[None, :, : N - 1]
+            dx = cos_a[None] * ex - sin_a[None] * ey
+            dy = sin_a[None] * ex + cos_a[None] * ey
+            samples = blk.pred_position[None, :, : N - 1, :] + _np.stack([dx, dy], axis=-1)
+            # [S, M, N-1, 2]; stage k (1..N-1) uses prediction step k-1
+
+            flat = samples.reshape(S * M, N - 1, 2)
+            diff = flat - p_ws[None, :, :]
+            dist = _np.maximum(_np.linalg.norm(diff, axis=-1), 1e-9)
+            a1 = diff[..., 0] / dist  # [S*M, N-1]
+            a2 = diff[..., 1] / dist
+            radius = _np.tile(blk.radius, S)[:, None] + robot_r
+            b = a1 * flat[..., 0] + a2 * flat[..., 1] - radius
+            # Tightness at the warmstart: a.p - b (higher = tighter/violated)
+            margin = a1 * p_ws[None, :, 0] + a2 * p_ws[None, :, 1] - b
+            # Support selection: tightest nC halfspaces per stage
+            # (ref 24-constraint scenario support)
+            order = _np.argsort(-margin, axis=0)[:nC]  # [nC, N-1]
+            kk = _np.arange(N - 1)[None, :]
+            sel_a1 = a1[order, kk].T  # [N-1, nC]
+            sel_a2 = a2[order, kk].T
+            sel_b = b[order, kk].T
+
+            P[s_id][1:N, a1_idx] = _np.tile(sel_a1, (1, self.n_discs))
+            P[s_id][1:N, a2_idx] = _np.tile(sel_a2, (1, self.n_discs))
+            P[s_id][1:N, b_idx] = _np.tile(sel_b, (1, self.n_discs))
+            P[s_id][N] = P[s_id][N - 1]
+
+        xinit = _np.tile(module_data.xinit[None], (B, 1))
+        res = planner.solver.solve_batch(
+            Z0, P, xinit, num_iterations=module_data.num_iterations
+        )
+
+        exit_codes = _np.asarray(res.exit_code)
+        pobj = _np.asarray(res.pobj, dtype=float)
+        feasible = exit_codes == 1
+        if not feasible.any():
+            return {"Z": _np.asarray(Z_main), "exit_code": -1, "pobj": float("inf")}
+        best = int(_np.argmin(_np.where(feasible, pobj, _np.inf)))
+        return {
+            "Z": _np.asarray(res.Z[best]),
+            "exit_code": 1,
+            "pobj": float(pobj[best]),
+            "batch": res,
+            "selected": best,
+        }
 
     def set_parameters(self, data, module_data, pblock: ParameterBlock) -> None:
         n_stages = pblock.n_stages
