@@ -50,6 +50,8 @@ class QPSolution(NamedTuple):
     dz: jnp.ndarray  # [N+1, nvar]
     mu: jnp.ndarray  # final complementarity measure
     alpha_last: jnp.ndarray
+    lam_l: jnp.ndarray = None  # final duals for warm-starting the next QP
+    lam_u: jnp.ndarray = None
 
 
 _S_MIN = 1e-7
@@ -127,8 +129,15 @@ def solve_qp(
     mu_min: float = 1e-12,
     reg: float = 1e-7,
     tau: float = 0.995,
+    warm_duals=None,
 ) -> QPSolution:
-    """Mehrotra predictor-corrector IP solve, fixed iteration count."""
+    """Mehrotra predictor-corrector IP solve, fixed iteration count.
+
+    `warm_duals` = (lam_l, lam_u) from the previous RTI iteration's QP
+    (HPIPM qp_solver_warm_start=2, generate_acados_solver.py:172): carrying
+    multipliers across relinearizations lets later QPs converge in a
+    fraction of the iterations.
+    """
     Np1, nrows, nvar = data.D.shape
     dtype = data.H.dtype
 
@@ -140,8 +149,20 @@ def solve_qp(
     # e = D zeta = 0 at init; slacks from bound distances, floored.
     s_l = jnp.where(mask_l > 0, jnp.maximum(-data.lb, 1e-2), 1.0)
     s_u = jnp.where(mask_u > 0, jnp.maximum(data.ub, 1e-2), 1.0)
-    lam_l = jnp.where(mask_l > 0, mu0 / s_l, 0.0)
-    lam_u = jnp.where(mask_u > 0, mu0 / s_u, 0.0)
+    lam_l_cold = jnp.where(mask_l > 0, mu0 / s_l, 0.0)
+    lam_u_cold = jnp.where(mask_u > 0, mu0 / s_u, 0.0)
+    if warm_duals is None:
+        lam_l, lam_u = lam_l_cold, lam_u_cold
+    else:
+        # Use warm duals only if the previous QP actually converged
+        # (a diverged/infeasible QP leaves garbage multipliers).
+        wl, wu, ok = warm_duals
+        lam_l = jnp.where(
+            mask_l > 0, jnp.where(ok, jnp.clip(wl, 1e-8, _W_MAX), lam_l_cold), 0.0
+        )
+        lam_u = jnp.where(
+            mask_u > 0, jnp.where(ok, jnp.clip(wu, 1e-8, _W_MAX), lam_u_cold), 0.0
+        )
 
     def _ftb(v, dv, mask, t):
         """Fraction-to-boundary step bound: max alpha s.t. v + a*dv >= (1-t)v."""
@@ -241,4 +262,5 @@ def solve_qp(
     mu_final = (
         jnp.sum(s_l * lam_l * mask_l) + jnp.sum(s_u * lam_u * mask_u)
     ) / n_active
-    return QPSolution(dz=zeta, mu=mu_final, alpha_last=alphas[-1])
+    return QPSolution(dz=zeta, mu=mu_final, alpha_last=alphas[-1],
+                      lam_l=lam_l, lam_u=lam_u)

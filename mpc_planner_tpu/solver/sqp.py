@@ -201,18 +201,34 @@ class SQPSolver:
         # Pin x_0 = xinit (ref setXinit + lbx0/ubx0)
         Z0 = Z0.at[0, nu:].set(xinit)
 
-        def rti_iter(Z, _):
-            qp = self._linearize(Z, P)
-            sol = solve_qp(
-                qp, nu, nx,
-                iterations=self.qp_iterations,
-                mu0=self.mu0,
-                mu_min=self.mu_min,
-            )
-            Z_new = Z + sol.dz  # FIXED_STEP globalization
-            return Z_new, sol.mu
+        # First QP: cold IP start, full iteration count. Subsequent RTI
+        # iterations warm-start the duals from the previous QP (HPIPM
+        # warm_start=2) and need far fewer IP iterations.
+        qp0 = self._linearize(Z0, P)
+        sol0 = solve_qp(qp0, nu, nx, iterations=self.qp_iterations,
+                        mu0=self.mu0, mu_min=self.mu_min)
+        Z1 = Z0 + sol0.dz  # FIXED_STEP globalization
+        if num_iterations == 1:
+            Z, mus = Z1, sol0.mu[None]
+        else:
+            warm_iters = max(6, self.qp_iterations * 2 // 3)
 
-        Z, mus = jax.lax.scan(rti_iter, Z0, None, length=num_iterations)
+            def rti_iter(carry, _):
+                Z, lam_l, lam_u, mu_prev = carry
+                qp = self._linearize(Z, P)
+                sol = solve_qp(
+                    qp, nu, nx,
+                    iterations=warm_iters,
+                    mu0=self.mu0,
+                    mu_min=self.mu_min,
+                    warm_duals=(lam_l, lam_u, mu_prev < 1e-2),
+                )
+                return (Z + sol.dz, sol.lam_l, sol.lam_u, sol.mu), sol.mu
+
+            (Z, _, _, _), mus = jax.lax.scan(
+                rti_iter, (Z1, sol0.lam_l, sol0.lam_u, sol0.mu), None,
+                length=num_iterations - 1,
+            )
 
         res_eq = ocp.eq_residual(Z, P)
         pobj = ocp.total_cost(Z, P)
@@ -220,7 +236,7 @@ class SQPSolver:
         success = finite & (res_eq <= self.tol_eq)
         exit_code = jnp.where(success, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
         return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
-                           res_eq=res_eq, qp_mu=mus[-1])
+                           res_eq=res_eq, qp_mu=jnp.atleast_1d(mus)[-1])
 
     # -- public API --------------------------------------------------------
     def _get_compiled(self, n: int, batched: bool):
