@@ -1,0 +1,440 @@
+"""Fused Pallas TPU kernel: the whole interior-point Riccati QP solve.
+
+The speed-of-light core (SURVEY.md §7.5, BASELINE.md). The XLA version in
+solver/qp.py runs ~1400 sequential tiny ops per solve (IP iterations x
+Riccati stages), each paying dispatch/latency on [B, 7, 7]-sized tensors.
+This kernel runs the ENTIRE Mehrotra predictor-corrector IPM — H-bar
+assembly, Riccati factorization, predictor and corrector solves,
+fraction-to-boundary steps — inside one Pallas program, with a block of
+BB=128 batch elements living on the vector lanes. Stage/IP loops become
+in-kernel `fori_loop`s at register latency instead of XLA op dispatches.
+
+Layout: every tensor is [..., lanes]: e.g. the stage Hessians are
+[N+1, nvar, nvar, 128]. Matrix algebra over the tiny nvar/nx/nu dims is
+expressed as broadcast-multiply-reduce on the VPU (8x128 vector unit);
+the MXU is deliberately NOT used — batched 7x7 contractions are far below
+MXU granularity and the f32 VPU path also sidesteps the bf16-matmul
+precision hazard.
+
+Everything (lb/ub masks, freeze guards, warm duals) matches
+solver/qp.py::solve_qp semantics — tests assert agreement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128  # batch elements per kernel invocation (vector lanes)
+
+_S_MIN = 1e-7
+_W_MAX = 1e7
+_MU_FREEZE = 1e-9
+
+
+def _ed(x, axis):
+    """expand_dims via reshape — Mosaic lowers mixed None+slice indexing to
+    an (unsupported) gather, so all broadcasts go through explicit
+    expand_dims on already-sliced values."""
+    return jnp.expand_dims(x, axis)
+
+
+def _mm(a, b):
+    """[m, p, L] @ [p, n, L] -> [m, n, L] via broadcast-reduce (VPU)."""
+    return jnp.sum(_ed(a, 2) * _ed(b, 0), axis=1)
+
+
+def _mv(a, v):
+    """[m, p, L] @ [p, L] -> [m, L]."""
+    return jnp.sum(a * _ed(v, 0), axis=1)
+
+
+def _mtv(a, v):
+    """[p, m, L]^T @ [p, L] -> [m, L]."""
+    return jnp.sum(a * _ed(v, 1), axis=0)
+
+
+def _transpose(a):
+    """[m, n, L] -> [n, m, L]."""
+    return jnp.swapaxes(a, 0, 1)
+
+
+def _sym_inv(M, n: int):
+    """Closed-form inverse of a symmetric [n, n, L] matrix, n in 1..3."""
+    if n == 1:
+        return 1.0 / M
+    if n == 2:
+        a, b, d = M[0, 0], M[0, 1], M[1, 1]
+        det = a * d - b * b
+        inv_det = 1.0 / det
+        row0 = jnp.stack([d, -b], axis=0)
+        row1 = jnp.stack([-b, a], axis=0)
+        return jnp.stack([row0, row1], axis=0) * _ed(_ed(inv_det, 0), 0)
+    if n == 3:
+        a, b, c = M[0, 0], M[0, 1], M[0, 2]
+        d, e, f = M[1, 1], M[1, 2], M[2, 2]
+        A = d * f - e * e
+        B = c * e - b * f
+        C = b * e - c * d
+        det = a * A + b * B + c * C
+        inv_det = 1.0 / det
+        D = a * f - c * c
+        E = b * c - a * e
+        F = a * d - b * b
+        row0 = jnp.stack([A, B, C], axis=0)
+        row1 = jnp.stack([B, D, E], axis=0)
+        row2 = jnp.stack([C, E, F], axis=0)
+        return jnp.stack([row0, row1, row2], axis=0) * _ed(_ed(inv_det, 0), 0)
+    raise NotImplementedError(f"sym_inv for n={n}")
+
+
+def _qp_kernel(
+    # inputs (VMEM refs, one batch block on the lanes)
+    H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, lb_ref, ub_ref, ml_ref, mu_ref,
+    wl_ref, wu_ref, wok_ref,
+    # outputs
+    dz_ref, lam_l_ref, lam_u_ref, mu_out_ref,
+    # scratch
+    s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref, kff_ref, dzt_ref,
+    w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref,
+    *, N: int, nu: int, nx: int, nvar: int, nrows: int,
+    iterations: int, mu0: float, reg: float, tau: float, use_warm: bool,
+):
+    f32 = jnp.float32
+    ml = ml_ref[...]
+    mu_mask = mu_ref[...]
+    lb = lb_ref[...]
+    ub = ub_ref[...]
+    n_active = jnp.maximum(jnp.sum(ml, axis=(0, 1)) + jnp.sum(mu_mask, axis=(0, 1)), 1.0)  # [L]
+
+    # --- init ---------------------------------------------------------
+    s_l0 = jnp.where(ml > 0, jnp.maximum(-lb, 1e-2), 1.0)
+    s_u0 = jnp.where(mu_mask > 0, jnp.maximum(ub, 1e-2), 1.0)
+    s_l_ref[...] = s_l0
+    s_u_ref[...] = s_u0
+    lam_l_cold = jnp.where(ml > 0, mu0 / s_l0, 0.0)
+    lam_u_cold = jnp.where(mu_mask > 0, mu0 / s_u0, 0.0)
+    if use_warm:
+        ok = _ed(_ed(wok_ref[0, :] > 0, 0), 0)  # [1, 1, L]
+        lam_l_ref[...] = jnp.where(
+            ml > 0,
+            jnp.where(ok, jnp.clip(wl_ref[...], 1e-8, _W_MAX), lam_l_cold),
+            0.0,
+        )
+        lam_u_ref[...] = jnp.where(
+            mu_mask > 0,
+            jnp.where(ok, jnp.clip(wu_ref[...], 1e-8, _W_MAX), lam_u_cold),
+            0.0,
+        )
+    else:
+        lam_l_ref[...] = lam_l_cold
+        lam_u_ref[...] = lam_u_cold
+    zeta_ref[...] = jnp.zeros((N + 1, nvar, LANES), f32)
+
+    eye_u = _ed(jnp.eye(nu, dtype=f32), 2)
+
+    def hbar_stage(k):
+        """H_k + D_k' diag(w_k) D_k -> [nvar, nvar, L]. Reads only refs so
+        it can be indexed dynamically inside loops (Mosaic restriction:
+        dynamic_slice is ref-only)."""
+        Dk = D_ref[k]  # [nrows, nvar, L]
+        wk = w_ref[k]  # [nrows, L]
+        return H_ref[k] + jnp.sum(
+            _ed(Dk, 2) * _ed(Dk, 1) * _ed(_ed(wk, 1), 1), axis=0
+        )
+
+    def ip_body(_, mu_prev_unused):
+        s_l = s_l_ref[...]
+        s_u = s_u_ref[...]
+        lam_l = lam_l_ref[...]
+        lam_u = lam_u_ref[...]
+        zeta = zeta_ref[...]
+
+        mu = (jnp.sum(s_l * lam_l * ml, axis=(0, 1)) + jnp.sum(s_u * lam_u * mu_mask, axis=(0, 1))) / n_active  # [L]
+        converged = mu < _MU_FREEZE
+
+        def e_body(k, _):
+            e_ref[k] = jnp.sum(D_ref[k] * _ed(zeta_ref[k], 0), axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, N + 1, e_body, 0)
+        e = e_ref[...]  # [N+1, nrows, L]
+        rho_l = (e - lb - s_l) * ml
+        rho_u = (ub - e - s_u) * mu_mask
+        w_ref[...] = jnp.clip(ml * lam_l / s_l + mu_mask * lam_u / s_u, 0.0, _W_MAX)
+
+        # --- Riccati factorization (backward) --------------------------
+        P_term = hbar_stage(N)[nu:, nu:]
+
+        def factor_body(i, P):
+            k = N - 1 - i
+            Hb = hbar_stage(k)
+            Ak = A_ref[k]
+            Bk = B_ref[k]
+            PA = _mm(P, Ak)
+            PB = _mm(P, Bk)
+            R_hat = Hb[:nu, :nu] + _mm(_transpose(Bk), PB) + reg * eye_u
+            S_hat = Hb[:nu, nu:] + _mm(_transpose(Bk), PA)
+            Rinv = _sym_inv(R_hat, nu)
+            K = -_mm(Rinv, S_hat)
+            Pn_ref[k] = P
+            Rinv_ref[k] = Rinv
+            K_ref[k] = K
+            Sh_ref[k] = S_hat
+            P_new = Hb[nu:, nu:] + _mm(_transpose(Ak), PA) + _mm(_transpose(S_hat), K)
+            return 0.5 * (P_new + _transpose(P_new))
+
+        jax.lax.fori_loop(0, N, factor_body, P_term)
+
+        # equality residual at current iterate
+        zx = zeta[:-1, nu:, :]
+        zu = zeta[:-1, :nu, :]
+        req_ref[...] = (
+            jnp.sum(A_ref[...] * _ed(zx, 1), axis=2)
+            + jnp.sum(B_ref[...] * _ed(zu, 1), axis=2)
+            + c_ref[...]
+            - zeta[1:, nu:]
+        )  # [N, nx, L]
+
+        gst_ref[...] = g_ref[...] + jnp.sum(
+            H_ref[...] * _ed(zeta, 1), axis=2
+        )  # [N+1, nvar, L]
+
+        def linear_solve(rc_l, rc_u):
+            """Newton direction for given complementarity targets."""
+            coef_ref[...] = (
+                -ml * lam_l
+                + mu_mask * lam_u
+                - ml * (rc_l - lam_l * rho_l) / s_l
+                + mu_mask * (rc_u - lam_u * rho_u) / s_u
+            )  # [N+1, nrows, L]
+
+            def gb_body(k, _):
+                gb_ref[k] = gst_ref[k] + jnp.sum(
+                    D_ref[k] * _ed(coef_ref[k], 1), axis=0
+                )
+                return 0
+
+            jax.lax.fori_loop(0, N + 1, gb_body, 0)
+
+            # backward substitution
+            def back_body(i, p):
+                k = N - 1 - i
+                pc = p + _mv(Pn_ref[k], req_ref[k])
+                gbk = gb_ref[k]
+                r_hat = gbk[:nu] + _mtv(B_ref[k], pc)
+                q_hat = gbk[nu:] + _mtv(A_ref[k], pc)
+                kff = -_mv(Rinv_ref[k], r_hat)
+                kff_ref[k] = kff
+                return q_hat + _mtv(Sh_ref[k], kff)
+
+            jax.lax.fori_loop(0, N, back_body, gb_ref[N, nu:])
+
+            # forward rollout
+            def fwd_body(k, dx):
+                du = _mv(K_ref[k], dx) + kff_ref[k]
+                dzt_ref[k] = jnp.concatenate([du, dx], axis=0)
+                return _mv(A_ref[k], dx) + _mv(B_ref[k], du) + req_ref[k]
+
+            dxN = jax.lax.fori_loop(
+                0, N, fwd_body, jnp.zeros((nx, LANES), f32)
+            )
+            dzt_ref[N] = jnp.concatenate([jnp.zeros((nu, LANES), f32), dxN], axis=0)
+
+            dz = dzt_ref[...]
+
+            def ddz_body(k, _):
+                e_ref[k] = jnp.sum(D_ref[k] * _ed(dzt_ref[k], 0), axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, N + 1, ddz_body, 0)
+            Ddz = e_ref[...]
+            ds_l = (Ddz + rho_l) * ml
+            ds_u = (rho_u - Ddz) * mu_mask
+            dl_l = ((rc_l - lam_l * ds_l) / s_l) * ml
+            dl_u = ((rc_u - lam_u * ds_u) / s_u) * mu_mask
+            return dz, ds_l, ds_u, dl_l, dl_u
+
+        def ftb(v, dv, mask, t):
+            ratio = jnp.where((dv < 0) & (mask > 0), -t * v / (dv - 1e-30), 1.0)
+            return jnp.clip(jnp.min(ratio, axis=(0, 1)), 0.0, 1.0)  # [L]
+
+        # predictor
+        dz_a, ds_l_a, ds_u_a, dl_l_a, dl_u_a = linear_solve(
+            (-s_l * lam_l) * ml, (-s_u * lam_u) * mu_mask
+        )
+        apa = jnp.minimum(ftb(s_l, ds_l_a, ml, 1.0), ftb(s_u, ds_u_a, mu_mask, 1.0))
+        ada = jnp.minimum(ftb(lam_l, dl_l_a, ml, 1.0), ftb(lam_u, dl_u_a, mu_mask, 1.0))
+        mu_aff = (
+            jnp.sum((s_l + apa * ds_l_a) * (lam_l + ada * dl_l_a) * ml, axis=(0, 1))
+            + jnp.sum((s_u + apa * ds_u_a) * (lam_u + ada * dl_u_a) * mu_mask, axis=(0, 1))
+        ) / n_active
+        sigma = jnp.clip((mu_aff / (mu + 1e-30)) ** 3, 0.0, 1.0)
+
+        # corrector
+        smu = _ed(_ed(sigma * mu, 0), 0)
+        dz, ds_l, ds_u, dl_l, dl_u = linear_solve(
+            (smu - s_l * lam_l - ds_l_a * dl_l_a) * ml,
+            (smu - s_u * lam_u - ds_u_a * dl_u_a) * mu_mask,
+        )
+        a_p = jnp.minimum(ftb(s_l, ds_l, ml, tau), ftb(s_u, ds_u, mu_mask, tau))
+        a_d = jnp.minimum(ftb(lam_l, dl_l, ml, tau), ftb(lam_u, dl_u, mu_mask, tau))
+
+        bad = converged | (mu > 1e6) | ~jnp.isfinite(mu)
+        finite_step = (
+            jnp.all(jnp.isfinite(dz), axis=(0, 1))
+            & jnp.all(jnp.isfinite(dl_l), axis=(0, 1))
+            & jnp.all(jnp.isfinite(dl_u), axis=(0, 1))
+        )
+        a_p = _ed(_ed(jnp.where(bad | ~finite_step, 0.0, a_p), 0), 0)
+        a_d = _ed(_ed(jnp.where(bad | ~finite_step, 0.0, a_d), 0), 0)
+
+        zeta_ref[...] = zeta + a_p * dz
+        s_l_ref[...] = jnp.where(ml > 0, jnp.maximum(s_l + a_p * ds_l, _S_MIN), 1.0)
+        s_u_ref[...] = jnp.where(mu_mask > 0, jnp.maximum(s_u + a_p * ds_u, _S_MIN), 1.0)
+        lam_l_ref[...] = jnp.where(ml > 0, jnp.clip(lam_l + a_d * dl_l, 0.0, _W_MAX), 0.0)
+        lam_u_ref[...] = jnp.where(mu_mask > 0, jnp.clip(lam_u + a_d * dl_u, 0.0, _W_MAX), 0.0)
+        return mu_prev_unused
+
+    jax.lax.fori_loop(0, iterations, ip_body, jnp.float32(0.0))
+    dz_ref[...] = zeta_ref[...]
+    mu_out_ref[...] = _ed(
+        (
+            jnp.sum(s_l_ref[...] * lam_l_ref[...] * ml, axis=(0, 1))
+            + jnp.sum(s_u_ref[...] * lam_u_ref[...] * mu_mask, axis=(0, 1))
+        )
+        / n_active,
+        0,
+    )
+
+
+class PallasQPResult(NamedTuple):
+    dz: jnp.ndarray  # [B, N+1, nvar]
+    lam_l: jnp.ndarray  # [B, N+1, nrows]
+    lam_u: jnp.ndarray
+    mu: jnp.ndarray  # [B] final complementarity
+
+
+def _to_lanes(x):
+    """[B, ...dims] -> [...dims, B] (batch onto the lanes)."""
+    return jnp.moveaxis(x, 0, -1)
+
+
+def _from_lanes(x):
+    return jnp.moveaxis(x, -1, 0)
+
+
+def solve_qp_pallas(
+    qp,  # QPData with leading batch axis [B, ...]
+    nu: int,
+    nx: int,
+    iterations: int,
+    mu0: float = 1e1,
+    reg: float = 1e-7,
+    tau: float = 0.995,
+    warm_duals=None,  # (lam_l [B,N+1,nrows], lam_u, ok [B])
+    interpret: bool = False,
+) -> PallasQPResult:
+    """Batched QP solve via the fused kernel. B is padded to LANES."""
+    B = qp.H.shape[0]
+    Np1, nvar = qp.g.shape[1], qp.g.shape[2]
+    N = Np1 - 1
+    nrows = qp.D.shape[2]
+
+    pad = (-B) % LANES
+    Bp = B + pad
+
+    def prep(x):
+        if pad:
+            # Padded elements: replicate element 0 (solves are independent)
+            x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0)
+        return _to_lanes(x.astype(jnp.float32))
+
+    H, g, A, Bm, c, D, lb, ub, ml, mu_mask = (
+        prep(qp.H), prep(qp.g), prep(qp.A), prep(qp.B), prep(qp.c),
+        prep(qp.D), prep(qp.lb), prep(qp.ub), prep(qp.mask_l), prep(qp.mask_u),
+    )
+    if warm_duals is not None:
+        wl, wu, wok = warm_duals
+        wl = prep(wl)
+        wu = prep(wu)
+        wok = prep(wok.astype(jnp.float32).reshape(B, 1))
+        use_warm = True
+    else:
+        wl = jnp.zeros((1, 1, Bp), jnp.float32)
+        wu = jnp.zeros((1, 1, Bp), jnp.float32)
+        wok = jnp.zeros((1, Bp), jnp.float32)
+        use_warm = False
+
+    G = Bp // LANES
+
+    kernel = functools.partial(
+        _qp_kernel,
+        N=N, nu=nu, nx=nx, nvar=nvar, nrows=nrows,
+        iterations=iterations, mu0=mu0, reg=reg, tau=tau, use_warm=use_warm,
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((Np1, nvar, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Np1, nrows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Np1, nrows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # s_l
+            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # s_u
+            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # zeta
+            pltpu.VMEM((N, nu, nu, LANES), jnp.float32),  # Rinv
+            pltpu.VMEM((N, nu, nx, LANES), jnp.float32),  # K
+            pltpu.VMEM((N, nu, nx, LANES), jnp.float32),  # S_hat
+            pltpu.VMEM((N, nx, nx, LANES), jnp.float32),  # P_next
+            pltpu.VMEM((N, nu, LANES), jnp.float32),  # kff
+            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # dz temp
+            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # w
+            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_bar
+            pltpu.VMEM((N, nx, LANES), jnp.float32),  # r_eq
+            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e / Ddz
+            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # coef
+            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_stat
+        ],
+        interpret=interpret,
+    )
+
+    # Split the lane axis into blocks and map the single-block kernel.
+    def blocks(x):
+        return jnp.moveaxis(x.reshape(x.shape[:-1] + (G, LANES)), -2, 0)
+
+    inputs = tuple(
+        blocks(x) for x in (H, g, A, Bm, c, D, lb, ub, ml, mu_mask, wl, wu, wok)
+    )
+    if G == 1:
+        outs = call(*(x[0] for x in inputs))
+        dz, lam_l, lam_u, mu_out = (o[None] for o in outs)
+    else:
+        dz, lam_l, lam_u, mu_out = jax.lax.map(lambda xs: call(*xs), inputs)
+
+    def unblocks(x):
+        return jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (Bp,))
+
+    dz = unblocks(dz)
+    lam_l = unblocks(lam_l)
+    lam_u = unblocks(lam_u)
+    mu_out = unblocks(mu_out)
+
+    dz = _from_lanes(dz)[:B]
+    lam_l = _from_lanes(lam_l)[:B]
+    lam_u = _from_lanes(lam_u)[:B]
+    mu = _from_lanes(mu_out)[:B, 0]
+    return PallasQPResult(dz=dz, lam_l=lam_l, lam_u=lam_u, mu=mu)

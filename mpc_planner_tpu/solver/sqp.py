@@ -48,10 +48,18 @@ class SolveResult(NamedTuple):
 
 
 def _mirror(H, lm: float):
-    """MIRROR regularization: eigenvalues -> max(|eig|, lm)."""
-    w, V = jnp.linalg.eigh(H)
-    w = jnp.maximum(jnp.abs(w), lm)
-    return (V * w[..., None, :]) @ jnp.swapaxes(V, -1, -2)
+    """MIRROR regularization: eigenvalues -> max(|eig|, lm).
+
+    On TPU uses the batched Jacobi eigensolver (ops/jacobi_eigh.py) —
+    XLA's TPU eigh costs ~3us per tiny matrix and dominated the
+    linearization; on CPU LAPACK eigh is faster than unrolled Jacobi."""
+    if jax.default_backend() == "cpu":
+        w, V = jnp.linalg.eigh(H)
+        w = jnp.maximum(jnp.abs(w), lm)
+        return (V * w[..., None, :]) @ jnp.swapaxes(V, -1, -2)
+    from mpc_planner_tpu.ops.jacobi_eigh import mirror_jacobi
+
+    return mirror_jacobi(H, lm)
 
 
 class SQPSolver:
@@ -93,6 +101,17 @@ class SQPSolver:
             self._lh = jnp.asarray(np.where(np.isfinite(lh), lh, -1e15))
             self._uh = jnp.asarray(np.where(np.isfinite(uh), uh, 1e15))
 
+        # QP backend: the fused Pallas kernel carries the batched solves on
+        # TPU (ops/pallas_qp.py); XLA scan path is the CPU/fallback.
+        backend = cfg.solver.qp_backend
+        if backend == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:  # pragma: no cover
+                platform = "cpu"
+            backend = "pallas" if platform != "cpu" and nu <= 3 else "xla"
+        self.qp_backend = backend
+
         # Compiled-function cache keyed by (num_iterations, batched): the
         # host-side timeout logic selects the iteration count per cycle and
         # every count it uses is compiled once (ref budget semantics,
@@ -100,7 +119,11 @@ class SQPSolver:
         self._compiled = {}
 
     # -- linearization ----------------------------------------------------
-    def _linearize(self, Z, P):
+    def _linearize(self, Z, P, mirror: bool = True):
+        """`mirror=False` defers the MIRROR regularization to the caller:
+        XLA's eigh lowers catastrophically with two batch dims (a vmapped
+        [B, N, 7, 7] costs ~15ms vs ~0.1ms flattened to 3D), so the fused
+        batch path applies it once on a flattened stack."""
         ocp = self.ocp
         N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
         dtype = Z.dtype
@@ -114,15 +137,18 @@ class SQPSolver:
         B = Jf[:, :, :nu]
         c = f_val - Z[1:, nu:]
 
-        # Cost: gradient + mirrored Hessian
+        # Cost: gradient + (mirrored) Hessian
         g_run = jax.vmap(jax.grad(ocp.running_cost))(Zr, Pr)
         H_run = jax.vmap(jax.hessian(ocp.running_cost))(Zr, Pr)
-        H_run = _mirror(H_run, self.lm)
+        if mirror:
+            H_run = _mirror(H_run, self.lm)
 
         zN = Z[N].at[:nu].set(0.0)
         g_term_full = jax.grad(ocp.terminal_cost)(zN, P[N])
         H_term_full = jax.hessian(ocp.terminal_cost)(zN, P[N])
-        H_term_x = _mirror(H_term_full[nu:, nu:], self.lm)
+        H_term_x = H_term_full[nu:, nu:]
+        if mirror:
+            H_term_x = _mirror(H_term_x, self.lm)
 
         H = jnp.concatenate(
             [H_run, jnp.zeros((1, nvar, nvar), dtype).at[0, nu:, nu:].set(H_term_x)],
@@ -238,13 +264,78 @@ class SQPSolver:
         return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
                            res_eq=res_eq, qp_mu=jnp.atleast_1d(mus)[-1])
 
+    # -- fused batched solve (Pallas QP backend) --------------------------
+    def _solve_batch_pallas(self, Z0, P, xinit, num_iterations: int):
+        """Batch-level SQP-RTI: XLA linearization (vmapped) + one fused
+        Pallas kernel per QP. Z0 [B, N+1, nvar], P [B, N+1, npar],
+        xinit [B, nx]."""
+        from mpc_planner_tpu.ops.pallas_qp import solve_qp_pallas
+
+        ocp = self.ocp
+        nu, nx = ocp.nu, ocp.nx
+
+        with jax.default_matmul_precision("highest"):
+            Z0 = Z0.at[:, 0, nu:].set(xinit)
+
+            def lin(Z, P_):
+                # Linearize without mirror, then mirror the whole [B*(N+1)]
+                # stack of stage Hessians as one 3D eigh (see _linearize
+                # docstring). The terminal row's zero u-block mirrors to
+                # lm*I on the u-diagonal, which the QP's terminal stage
+                # never reads.
+                qp = jax.vmap(lambda z, p: self._linearize(z, p, mirror=False))(Z, P_)
+                Bb, Np1, nv, _ = qp.H.shape
+                H_m = _mirror(qp.H.reshape(Bb * Np1, nv, nv), self.lm)
+                return qp._replace(H=H_m.reshape(Bb, Np1, nv, nv))
+
+            qp0 = lin(Z0, P)
+            sol0 = solve_qp_pallas(
+                qp0, nu, nx, iterations=self.qp_iterations, mu0=self.mu0
+            )
+            Z1 = Z0 + sol0.dz
+            if num_iterations == 1:
+                Z, mu_last = Z1, sol0.mu
+            else:
+                warm_iters = max(6, self.qp_iterations * 2 // 3)
+
+                def rti_iter(carry, _):
+                    Z, ll, lu, mu = carry
+                    qp = lin(Z, P)
+                    sol = solve_qp_pallas(
+                        qp, nu, nx, iterations=warm_iters, mu0=self.mu0,
+                        warm_duals=(ll, lu, mu < 1e-2),
+                    )
+                    return (Z + sol.dz, sol.lam_l, sol.lam_u, sol.mu), None
+
+                (Z, _, _, mu_last), _ = jax.lax.scan(
+                    rti_iter, (Z1, sol0.lam_l, sol0.lam_u, sol0.mu), None,
+                    length=num_iterations - 1,
+                )
+
+            res_eq = jax.vmap(ocp.eq_residual)(Z, P)
+            pobj = jax.vmap(ocp.total_cost)(Z, P)
+            finite = (
+                jnp.isfinite(res_eq)
+                & jnp.isfinite(pobj)
+                & jnp.all(jnp.isfinite(Z), axis=(1, 2))
+            )
+            success = finite & (res_eq <= self.tol_eq)
+            exit_code = jnp.where(success, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
+            return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
+                               res_eq=res_eq, qp_mu=mu_last)
+
     # -- public API --------------------------------------------------------
     def _get_compiled(self, n: int, batched: bool):
         key = (n, batched)
         fn = self._compiled.get(key)
         if fn is None:
-            base = lambda Z0, P, xinit: self._solve(Z0, P, xinit, n)
-            fn = jax.jit(jax.vmap(base) if batched else base)
+            if batched and self.qp_backend == "pallas":
+                fn = jax.jit(
+                    lambda Z0, P, xinit: self._solve_batch_pallas(Z0, P, xinit, n)
+                )
+            else:
+                base = lambda Z0, P, xinit: self._solve(Z0, P, xinit, n)
+                fn = jax.jit(jax.vmap(base) if batched else base)
             self._compiled[key] = fn
         return fn
 

@@ -86,6 +86,7 @@ class RobotConfig:
 class SolverConfig:
     iterations: int = 10  # SQP-RTI iterations (ref settings.yaml:16)
     qp_iterations: int = 12  # Mehrotra predictor-corrector iterations per QP
+    qp_backend: str = "auto"  # "auto" | "pallas" | "xla"
     solver_type: str = "SQP_RTI"  # or "SQP"
     tol_stationarity: float = 1e-3  # ref settings.yaml tolstat
     tol_eq_residual: float = 1e-2  # res_eq failure check (ref acados_solver_interface.cpp:176-181)

@@ -1,0 +1,94 @@
+"""Fused Pallas QP kernel vs the XLA reference implementation.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same kernel
+compiles natively on TPU (exercised by bench.py / the driver).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpc_planner_tpu.solver.qp import solve_qp
+
+
+def _small_qp(cfg, rng):
+    """Build a batched QP from the goal-tracking OCP."""
+    from mpc_planner_tpu.models import SecondOrderUnicycleModel
+    from mpc_planner_tpu.modules import GoalModule, ModuleManager, MPCBaseModule
+    from mpc_planner_tpu.parameters import ParameterBlock
+    from mpc_planner_tpu.solver import OCP, SQPSolver
+    from mpc_planner_tpu.solver.warmstart import initialize_with_state
+    from mpc_planner_tpu.types import ModuleData, RealTimeData, State
+
+    model = SecondOrderUnicycleModel()
+    mgr = ModuleManager()
+    base = mgr.add_module(MPCBaseModule(cfg))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mgr.add_module(GoalModule(cfg))
+    ocp = OCP(model, mgr, cfg)
+    solver = SQPSolver(ocp)
+
+    data = RealTimeData()
+    data.goal = np.array([4.0, 1.0])
+    data.goal_received = True
+    pblock = ParameterBlock(ocp.params, cfg.N + 1)
+    mgr.set_parameters_all(data, ModuleData(), pblock)
+
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    B = 4
+    Z0b = np.tile(Z0[None], (B, 1, 1)).astype(np.float32)
+    Z0b[:, 1:, model.nu :] += rng.normal(0, 0.05, Z0b[:, 1:, model.nu :].shape)
+    Pb = jnp.asarray(np.tile(pblock.data[None], (B, 1, 1)), jnp.float32)
+    qp = jax.vmap(solver._linearize)(jnp.asarray(Z0b, jnp.float32), Pb)
+    return model, qp
+
+
+def test_pallas_qp_matches_xla(cfg, rng):
+    from mpc_planner_tpu.ops import pallas_qp
+
+    model, qp = _small_qp(cfg, rng)
+    ITER = 8
+    with jax.default_matmul_precision("highest"):
+        ref = jax.vmap(lambda d: solve_qp(d, model.nu, model.nx, iterations=ITER))(qp)
+        out = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=ITER, interpret=True
+        )
+    dz_ref = np.asarray(ref.dz)
+    dz_pl = np.asarray(out.dz)
+    scale = np.abs(dz_ref).max() + 1e-9
+    assert np.abs(dz_ref - dz_pl).max() / scale < 5e-3
+    # Duals agree too (warm-start handoff depends on them)
+    ll_ref = np.asarray(ref.lam_l)
+    ll_pl = np.asarray(out.lam_l)
+    assert np.abs(ll_ref - ll_pl).max() / (np.abs(ll_ref).max() + 1e-9) < 5e-3
+
+
+def test_pallas_qp_warm_duals(cfg, rng):
+    from mpc_planner_tpu.ops import pallas_qp
+
+    model, qp = _small_qp(cfg, rng)
+    ITER = 6
+    with jax.default_matmul_precision("highest"):
+        first = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=ITER, interpret=True
+        )
+        B = qp.H.shape[0]
+        ok = jnp.ones((B,), bool)
+        warm = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=ITER,
+            warm_duals=(first.lam_l, first.lam_u, ok), interpret=True,
+        )
+        ref = jax.vmap(
+            lambda d, wl, wu: solve_qp(
+                d, model.nu, model.nx, iterations=ITER,
+                warm_duals=(wl, wu, jnp.asarray(True)),
+            )
+        )(qp, first.lam_l, first.lam_u)
+    assert (
+        np.abs(np.asarray(warm.dz) - np.asarray(ref.dz)).max()
+        / (np.abs(np.asarray(ref.dz)).max() + 1e-9)
+        < 5e-3
+    )
