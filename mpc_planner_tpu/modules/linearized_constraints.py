@@ -130,9 +130,18 @@ class LinearizedConstraintModule(ConstraintModule):
 
     def _project_to_safety(self, obst_pos, radius, pos):
         """Douglas-Rachford-style projection to a collision-free point
-        (ref linearized_constraints.cpp:130-148): at most 3 sweeps."""
+        (ref linearized_constraints.cpp:130-148): at most 3 sweeps.
+        Uses the native C++ kernel when available."""
         if obst_pos.shape[0] == 0:
             return pos
+        try:
+            from mpc_planner_tpu import native
+
+            out = native.dr_project(pos[None, :], obst_pos[None, :, :], radius)
+            if out is not None:
+                return out[0]
+        except Exception:
+            pass
         anchor = obst_pos[0]
         for _ in range(3):
             diff = pos[None, :] - obst_pos

@@ -24,12 +24,23 @@ def fit_natural_cubic(t: np.ndarray, y: np.ndarray) -> np.ndarray:
     Returns coeffs [n-1, 4] = (a, b, c, d) per interval with
     y(s) = a*(s-t_i)^3 + b*(s-t_i)^2 + c*(s-t_i) + d  for s in [t_i, t_{i+1}].
     (Same convention as the reference's SplineSegment, spline.py:17-21.)
+
+    Uses the native C++ kernel when available (mpc_planner_tpu/native,
+    the ros_tools/tk::spline equivalent); numpy fallback below.
     """
     t = np.asarray(t, dtype=float)
     y = np.asarray(y, dtype=float)
     n = len(t)
     if n < 2:
         raise ValueError("need at least 2 points")
+    try:
+        from mpc_planner_tpu import native
+
+        out = native.fit_natural_cubic(t, y)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     h = np.diff(t)
     if np.any(h <= 0):
         raise ValueError("t must be strictly increasing")
@@ -187,6 +198,17 @@ class PathSpline2D:
             hi = min(self.length, s_hint + window)
             if hi <= lo:
                 lo, hi = 0.0, self.length
+        try:
+            from mpc_planner_tpu import native
+
+            s_native = native.closest_point(
+                self.sx.coeffs, self.sy.coeffs, self.sx.t,
+                float(pos[0]), float(pos[1]), lo, hi,
+            )
+            if s_native is not None:
+                return s_native
+        except Exception:
+            pass
         ss = np.linspace(lo, hi, 200)
         pts = self.at(ss)
         d2 = np.sum((pts - pos) ** 2, axis=-1)
