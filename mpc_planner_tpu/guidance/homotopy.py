@@ -116,18 +116,48 @@ class GuidancePlanner:
         combos.sort(key=combo_cost)
         combos = combos[: self.n_paths]
 
+        # Scale-out beyond the reference's 4 classes (SURVEY.md §7.7): per
+        # class, emit `samples_per_class` warmstart variations (margin and
+        # speed-profile scalings). Same signature -> same homotopy class for
+        # selection/consistency purposes; the batch axis carries them all.
+        spc = max(1, int(getattr(self.cfg.t_mpc, "samples_per_class", 1)))
+        variations = [(1.0, 1.0)]
+        if spc > 1:
+            margin_f = [1.0, 1.4, 0.75, 1.8, 0.6]
+            speed_f = [1.0, 0.8, 1.15, 0.65, 0.9]
+            variations = [
+                (margin_f[i % len(margin_f)], speed_f[(i // len(margin_f)) % len(speed_f)])
+                for i in range(spc)
+            ]
+
         trajectories = []
+        base_clearance = self.clearance
         for combo in combos:
-            offset = self._lateral_profile(tracked, combo, lat, lon, radius, N)
-            positions = nominal + offset[:, None] * normals
-            traj = GuidanceTrajectory(
-                positions=positions,
-                s=s_prof,
-                signature=tuple(combo),
-                obstacle_ids=tuple(obstacle_block.index[i] for i in tracked),
-            )
-            traj.previously_selected = self._matches_selected(traj)
-            trajectories.append(traj)
+            ids = tuple(obstacle_block.index[i] for i in tracked)
+            for margin_scale, speed_scale in variations:
+                self.clearance = base_clearance * margin_scale
+                offset = self._lateral_profile(tracked, combo, lat, lon, radius, N)
+                self.clearance = base_clearance
+                s_var = s_prof if speed_scale == 1.0 else np.clip(
+                    s0 + (s_prof - s0) * speed_scale, 0.0, path.length
+                )
+                pos_var = (
+                    nominal if speed_scale == 1.0 else path.at(s_var)
+                )
+                if speed_scale != 1.0:
+                    tan_var = path.deriv(s_var)
+                    tan_var /= np.linalg.norm(tan_var, axis=-1, keepdims=True) + 1e-12
+                    norm_var = np.stack([-tan_var[:, 1], tan_var[:, 0]], axis=-1)
+                else:
+                    norm_var = normals
+                traj = GuidanceTrajectory(
+                    positions=pos_var + offset[:, None] * norm_var,
+                    s=s_var,
+                    signature=tuple(combo),
+                    obstacle_ids=ids,
+                )
+                traj.previously_selected = self._matches_selected(traj)
+                trajectories.append(traj)
         return trajectories
 
     def _lateral_profile(self, tracked, combo, lat, lon, radius, N) -> np.ndarray:

@@ -40,7 +40,10 @@ class GuidanceConstraintModule(ConstraintModule):
         self.submodule = submodule_cls(cfg)
         self.use_tmpc_pp = cfg.t_mpc.use_tmpc_pp
         self.enable_constraints = cfg.t_mpc.enable_constraints
-        self.n_planners = cfg.t_mpc.n_paths + (1 if self.use_tmpc_pp else 0)
+        self.n_planners = (
+            cfg.t_mpc.n_paths * max(1, cfg.t_mpc.samples_per_class)
+            + (1 if self.use_tmpc_pp else 0)
+        )
         # Set by the planner/guidance layer each cycle:
         self.guidance = None  # GuidancePlanner instance
         self._selected_class = -1

@@ -39,6 +39,17 @@ EXIT_FAILURE = -1
 EXIT_NOT_OPTIMIZED_YET = -999  # ref controller_module.h:13
 
 
+def explain_exit_flag(code: int) -> str:
+    """Human-readable exit explanation (ref acados_solver_interface.cpp:
+    391-424 explainExitFlag)."""
+    return {
+        EXIT_SUCCESS: "Success",
+        0: "Maximum number of iterations reached",
+        EXIT_FAILURE: "Solver failed (QP infeasible, NaN, or residual above tolerance)",
+        EXIT_NOT_OPTIMIZED_YET: "Not optimized yet",
+    }.get(int(code), f"Unknown exit code {code}")
+
+
 class SolveResult(NamedTuple):
     Z: jnp.ndarray  # [.., N+1, nvar] solution trajectory (u, x per stage)
     exit_code: jnp.ndarray  # int32: 1 success / -1 failure
@@ -340,8 +351,21 @@ class SQPSolver:
         return fn
 
     def solve(self, Z0, P, xinit, num_iterations: Optional[int] = None) -> SolveResult:
-        """Single solve. Z0 [N+1, nvar] warmstart, P [N+1, npar], xinit [nx]."""
+        """Single solve. Z0 [N+1, nvar] warmstart, P [N+1, npar], xinit [nx].
+
+        On the Pallas backend this runs as a batch of one (the kernel's
+        lane block is fixed; a single solve costs the same as 128)."""
         n = self.iterations if num_iterations is None else max(int(num_iterations), 1)
+        if self.qp_backend == "pallas":
+            res = self.solve_batch(
+                jnp.asarray(Z0, jnp.float32)[None],
+                jnp.asarray(P, jnp.float32)[None],
+                jnp.asarray(xinit, jnp.float32)[None],
+                num_iterations=n,
+            )
+            return SolveResult(Z=res.Z[0], exit_code=res.exit_code[0],
+                               pobj=res.pobj[0], res_eq=res.res_eq[0],
+                               qp_mu=res.qp_mu[0])
         return self._get_compiled(n, False)(
             jnp.asarray(Z0, jnp.float32),
             jnp.asarray(P, jnp.float32),

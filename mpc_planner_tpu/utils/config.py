@@ -43,7 +43,8 @@ class TMPCConfig:
     enable_constraints: bool = True  # homotopy halfspace constraints
     warmstart_with_mpc_solution: bool = False
     # Batched scale-out beyond the reference's 4+1 planners:
-    n_paths: int = 4  # guided planners (ref guidance_planner.yaml:11)
+    n_paths: int = 4  # homotopy classes (ref guidance_planner.yaml:11)
+    samples_per_class: int = 1  # warmstart variations per class (batch axis)
     selection_weight_consistency: float = 0.75  # bonus for previously chosen class
 
 
