@@ -1,0 +1,83 @@
+"""The reference's headline closed-loop experiment: a corridor with
+crossing pedestrians, T-MPC++ vs non-parallel MPC
+(mpc_planner_jackalsimulator/README.md + docs/duration_with_baseline.png:
+task duration over 4/8/12 pedestrians).
+
+Runs the pure-Python/JAX simulator (sim/) instead of Gazebo. Usage:
+    python experiments/corridor_benchmark.py [--cpu] [--seeds 3]
+Prints a markdown table of task duration / collisions / completion.
+"""
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--max-steps", type=int, default=200)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from mpc_planner_tpu.planner import Planner
+    from mpc_planner_tpu.presets import configuration_basic, configuration_tmpc
+    from mpc_planner_tpu.sim import ClosedLoopSimulator
+    from mpc_planner_tpu.sim.simulator import Pedestrian
+    from mpc_planner_tpu.utils.config import default_config
+
+    def make_peds(n, seed):
+        rng = np.random.default_rng(seed)
+        return [
+            Pedestrian(
+                position=np.array([rng.uniform(4, 24), rng.uniform(-2.5, 2.5)]),
+                velocity=np.array([rng.uniform(-0.6, 0.3), rng.uniform(-0.9, 0.9)]),
+                radius=0.4,
+                goal=np.array([rng.uniform(0, 28), rng.uniform(-3, 3)]),
+            )
+            for _ in range(n)
+        ]
+
+    xs = np.linspace(0, 25, 14)
+    path = {"x": xs, "y": np.zeros_like(xs)}
+    configs = {"T-MPC++": configuration_tmpc, "MPC (ellipsoid)": configuration_basic}
+
+    print("| config | pedestrians | completion | duration [s] | collisions | infeasible |")
+    print("|---|---|---|---|---|---|")
+    for cfg_name, make_config in configs.items():
+        for n_peds in (4, 8, 12):
+            durations, collisions, completed, infeasible = [], 0, 0, 0
+            for seed in range(args.seeds):
+                cfg = default_config(N=20)
+                model, modules = make_config(cfg)
+                planner = Planner(model, modules, cfg)
+                sim = ClosedLoopSimulator(
+                    planner, cfg, make_peds(n_peds, seed), path,
+                    social_forces=True, seed=seed,
+                )
+                res = sim.run(max_steps=args.max_steps)
+                durations.append(res.duration)
+                collisions += res.collisions
+                completed += int(res.completed)
+                infeasible += res.infeasible_cycles
+            print(
+                f"| {cfg_name} | {n_peds} | {completed}/{args.seeds} "
+                f"| {np.mean(durations):.1f} | {collisions} | {infeasible} |",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
