@@ -166,6 +166,7 @@ class GuidanceConstraintModule(ConstraintModule):
         masked = _np.where(feasible, pobj, _np.inf)
         best = int(_np.argmin(masked))
         self._selected_planner = best
+        self._last_batch_Z = _np.asarray(res.Z)  # for visualization
         if best < len(trajs):
             self.guidance.override_selected(trajs[best])
         else:
