@@ -20,6 +20,43 @@ from mpc_planner_tpu.modules.base import BoundModel, ConstraintModule
 from mpc_planner_tpu.parameters import ParameterBlock, ParameterRegistry
 
 
+def _device_scenario_halfspaces(key, pred_position, pred_angle, pred_major,
+                                pred_minor, radius, p_ws, robot_r,
+                                n_constraints: int, n_samples: int):
+    """Device-side scenario sampling + support selection for one solver.
+
+    pred_* [M, N-1(,2)]; p_ws [N-1, 2]. Returns (a1, a2, b) [N-1, nC].
+    Vectorized draw of S samples per obstacle, separating halfspace per
+    sample, tightest-nC per stage via top_k — the scenario_module
+    capability as one jittable function (vmapped over parallel solvers).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    S = n_samples
+    M, Nm1 = pred_major.shape
+    noise = jax.random.normal(key, (S, M, Nm1, 2))
+    cos_a, sin_a = jnp.cos(pred_angle), jnp.sin(pred_angle)
+    ex = noise[..., 0] * pred_major[None]
+    ey = noise[..., 1] * pred_minor[None]
+    dx = cos_a[None] * ex - sin_a[None] * ey
+    dy = sin_a[None] * ex + cos_a[None] * ey
+    samples = pred_position[None] + jnp.stack([dx, dy], axis=-1)  # [S, M, N-1, 2]
+
+    flat = samples.reshape(S * M, Nm1, 2)
+    diff = flat - p_ws[None]
+    dist = jnp.maximum(jnp.linalg.norm(diff, axis=-1), 1e-9)
+    a1 = diff[..., 0] / dist
+    a2 = diff[..., 1] / dist
+    rad = jnp.tile(radius, S)[:, None] + robot_r
+    b = a1 * flat[..., 0] + a2 * flat[..., 1] - rad
+    margin = a1 * p_ws[None, :, 0] + a2 * p_ws[None, :, 1] - b  # [S*M, N-1]
+
+    _, idx = jax.lax.top_k(margin.T, n_constraints)  # [N-1, nC]
+    kk = jnp.arange(Nm1)[:, None]
+    return a1.T[kk, idx], a2.T[kk, idx], b.T[kk, idx]
+
+
 class ScenarioConstraintModule(ConstraintModule):
     module_name = "ScenarioConstraints"
     description = "Scenario-based obstacle avoidance under motion uncertainty"
@@ -32,6 +69,7 @@ class ScenarioConstraintModule(ConstraintModule):
         self.use_slack = True
         self._planner = None
         self._sample_seed = 0
+        self._sampler = None
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         for d in range(self.n_discs):
@@ -94,7 +132,6 @@ class ScenarioConstraintModule(ConstraintModule):
         M = blk.position.shape[0]
         nC = self.n_constraints
 
-        rng = _np.random.default_rng(self._sample_seed)
         Z_main = module_data.warmstart
         p_ws = module_data.warmstart_xy[1 : N]  # [N-1, 2] stages 1..N-1
 
@@ -107,40 +144,39 @@ class ScenarioConstraintModule(ConstraintModule):
         a2_idx = module_data.pblock.registry.bundle_indices("scenario_a2")
         b_idx = module_data.pblock.registry.bundle_indices("scenario_b")
 
+        # Scenario draws + support selection on device, vmapped over the
+        # parallel solvers (ref scenario_module sampling,
+        # IntegrateAndTranslateToMeanAndVariance + 24-support selection)
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        if self._sampler is None:
+            fn = functools.partial(
+                _device_scenario_halfspaces, n_constraints=nC, n_samples=S
+            )
+            self._sampler = jax.jit(
+                jax.vmap(fn, in_axes=(0, None, None, None, None, None, None, None))
+            )
+        keys = jax.random.split(jax.random.PRNGKey(self._sample_seed), B)
+        sel_a1, sel_a2, sel_b = self._sampler(
+            keys,
+            jnp.asarray(blk.pred_position[:, : N - 1], jnp.float32),
+            jnp.asarray(blk.pred_angle[:, : N - 1], jnp.float32),
+            jnp.asarray(blk.pred_major[:, : N - 1], jnp.float32),
+            jnp.asarray(blk.pred_minor[:, : N - 1], jnp.float32),
+            jnp.asarray(blk.radius, jnp.float32),
+            jnp.asarray(p_ws, jnp.float32),
+            jnp.float32(robot_r),
+        )
+        sel_a1 = _np.asarray(sel_a1)  # [B, N-1, nC]
+        sel_a2 = _np.asarray(sel_a2)
+        sel_b = _np.asarray(sel_b)
         for s_id in range(B):
-            # Sample obstacle positions over the horizon:
-            # mean + rotated Gaussian noise (ref scenario_module sampling
-            # from Gaussian predictions, IntegrateAndTranslateToMeanAndVariance)
-            noise = rng.standard_normal((S, M, N - 1, 2))
-            cos_a = _np.cos(blk.pred_angle[:, : N - 1])
-            sin_a = _np.sin(blk.pred_angle[:, : N - 1])
-            ex = noise[..., 0] * blk.pred_major[None, :, : N - 1]
-            ey = noise[..., 1] * blk.pred_minor[None, :, : N - 1]
-            dx = cos_a[None] * ex - sin_a[None] * ey
-            dy = sin_a[None] * ex + cos_a[None] * ey
-            samples = blk.pred_position[None, :, : N - 1, :] + _np.stack([dx, dy], axis=-1)
-            # [S, M, N-1, 2]; stage k (1..N-1) uses prediction step k-1
-
-            flat = samples.reshape(S * M, N - 1, 2)
-            diff = flat - p_ws[None, :, :]
-            dist = _np.maximum(_np.linalg.norm(diff, axis=-1), 1e-9)
-            a1 = diff[..., 0] / dist  # [S*M, N-1]
-            a2 = diff[..., 1] / dist
-            radius = _np.tile(blk.radius, S)[:, None] + robot_r
-            b = a1 * flat[..., 0] + a2 * flat[..., 1] - radius
-            # Tightness at the warmstart: a.p - b (higher = tighter/violated)
-            margin = a1 * p_ws[None, :, 0] + a2 * p_ws[None, :, 1] - b
-            # Support selection: tightest nC halfspaces per stage
-            # (ref 24-constraint scenario support)
-            order = _np.argsort(-margin, axis=0)[:nC]  # [nC, N-1]
-            kk = _np.arange(N - 1)[None, :]
-            sel_a1 = a1[order, kk].T  # [N-1, nC]
-            sel_a2 = a2[order, kk].T
-            sel_b = b[order, kk].T
-
-            P[s_id][1:N, a1_idx] = _np.tile(sel_a1, (1, self.n_discs))
-            P[s_id][1:N, a2_idx] = _np.tile(sel_a2, (1, self.n_discs))
-            P[s_id][1:N, b_idx] = _np.tile(sel_b, (1, self.n_discs))
+            P[s_id][1:N, a1_idx] = _np.tile(sel_a1[s_id], (1, self.n_discs))
+            P[s_id][1:N, a2_idx] = _np.tile(sel_a2[s_id], (1, self.n_discs))
+            P[s_id][1:N, b_idx] = _np.tile(sel_b[s_id], (1, self.n_discs))
             P[s_id][N] = P[s_id][N - 1]
 
         xinit = _np.tile(module_data.xinit[None], (B, 1))
