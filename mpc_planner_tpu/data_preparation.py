@@ -43,7 +43,13 @@ class HostObstacle:
 
 @dataclass
 class ObstacleBlock:
-    """Padded struct-of-arrays over max_obstacles (mode 0)."""
+    """Padded struct-of-arrays over max_obstacles.
+
+    The `pred_*` arrays carry the most-probable mode (the deterministic
+    modules consume mode 0, like the reference's `modes[0]` accesses);
+    `modes_*` carry the full Gaussian mixture (fixed mode capacity, padded
+    by repeating the best mode) for SH-MPC multi-modal sampling
+    (ref data_types.h Prediction{modes, probabilities})."""
 
     position: np.ndarray  # [M, 2] current positions
     angle: np.ndarray  # [M]
@@ -54,6 +60,14 @@ class ObstacleBlock:
     pred_minor: np.ndarray  # [M, N]
     pred_type: np.ndarray  # [M] int
     index: np.ndarray  # [M] int (-1 = dummy)
+    modes_position: Optional[np.ndarray] = None  # [M, K, N, 2]
+    modes_major: Optional[np.ndarray] = None  # [M, K, N]
+    modes_minor: Optional[np.ndarray] = None  # [M, K, N]
+    modes_prob: Optional[np.ndarray] = None  # [M, K]
+
+    @property
+    def n_modes(self) -> int:
+        return 1 if self.modes_position is None else self.modes_position.shape[1]
 
 
 def define_robot_area(length: float, width: float, n_discs: int) -> List[tuple]:
@@ -165,8 +179,14 @@ def propagate_all_uncertainty(obstacles: List[HostObstacle], dt: float, N: int) 
 
 
 def pack_obstacles(obstacles: List[HostObstacle], N: int) -> ObstacleBlock:
-    """Padded list -> struct-of-arrays (mode 0) for vectorized fills."""
+    """Padded list -> struct-of-arrays for vectorized fills.
+
+    `pred_*` hold the most-probable mode; when any obstacle carries more
+    than one mode, the full padded mixture is packed into `modes_*`."""
     M = len(obstacles)
+    K = max(
+        [1] + [o.prediction.positions.shape[0] for o in obstacles if o.prediction is not None]
+    )
     blk = ObstacleBlock(
         position=np.zeros((M, 2)),
         angle=np.zeros(M),
@@ -178,20 +198,45 @@ def pack_obstacles(obstacles: List[HostObstacle], N: int) -> ObstacleBlock:
         pred_type=np.zeros(M, dtype=int),
         index=np.zeros(M, dtype=int),
     )
+    if K > 1:
+        blk.modes_position = np.zeros((M, K, N, 2))
+        blk.modes_major = np.zeros((M, K, N))
+        blk.modes_minor = np.zeros((M, K, N))
+        blk.modes_prob = np.zeros((M, K))
+        blk.modes_prob[:, 0] = 1.0
+
     for i, o in enumerate(obstacles):
         blk.position[i] = o.position
         blk.angle[i] = o.angle
         blk.radius[i] = o.radius
         blk.index[i] = o.index
-        if o.prediction is not None:
-            n = min(N, o.prediction.positions.shape[1])
-            blk.pred_position[i, :n] = o.prediction.positions[0, :n]
-            blk.pred_angle[i, :n] = o.prediction.angles[0, :n]
-            blk.pred_major[i, :n] = o.prediction.major[0, :n]
-            blk.pred_minor[i, :n] = o.prediction.minor[0, :n]
-            blk.pred_type[i] = o.prediction.type
-            if n < N:  # extend with the last step
-                blk.pred_position[i, n:] = blk.pred_position[i, n - 1]
-                blk.pred_major[i, n:] = blk.pred_major[i, n - 1]
-                blk.pred_minor[i, n:] = blk.pred_minor[i, n - 1]
+        if o.prediction is None:
+            continue
+        probs = np.asarray(o.prediction.probabilities, dtype=float)
+        best = int(np.argmax(probs)) if probs.size else 0
+        n = min(N, o.prediction.positions.shape[1])
+        blk.pred_position[i, :n] = o.prediction.positions[best, :n]
+        blk.pred_angle[i, :n] = o.prediction.angles[best, :n]
+        blk.pred_major[i, :n] = o.prediction.major[best, :n]
+        blk.pred_minor[i, :n] = o.prediction.minor[best, :n]
+        blk.pred_type[i] = o.prediction.type
+        if n < N:  # extend with the last step
+            blk.pred_position[i, n:] = blk.pred_position[i, n - 1]
+            blk.pred_major[i, n:] = blk.pred_major[i, n - 1]
+            blk.pred_minor[i, n:] = blk.pred_minor[i, n - 1]
+        if K > 1:
+            k_o = o.prediction.positions.shape[0]
+            for k in range(K):
+                src = k if k < k_o else best  # pad by repeating the best mode
+                blk.modes_position[i, k, :n] = o.prediction.positions[src, :n]
+                blk.modes_major[i, k, :n] = o.prediction.major[src, :n]
+                blk.modes_minor[i, k, :n] = o.prediction.minor[src, :n]
+                if n < N:
+                    blk.modes_position[i, k, n:] = blk.modes_position[i, k, n - 1]
+                    blk.modes_major[i, k, n:] = blk.modes_major[i, k, n - 1]
+                    blk.modes_minor[i, k, n:] = blk.modes_minor[i, k, n - 1]
+                blk.modes_prob[i, k] = (
+                    probs[k] / probs[:k_o].sum() if k < k_o and probs[:k_o].sum() > 0
+                    else (0.0 if k >= k_o else 1.0 / k_o)
+                )
     return blk

@@ -57,6 +57,42 @@ def _device_scenario_halfspaces(key, pred_position, pred_angle, pred_major,
     return a1.T[kk, idx], a2.T[kk, idx], b.T[kk, idx]
 
 
+def _device_scenario_halfspaces_mm(key, modes_position, modes_major, modes_minor,
+                                   modes_logprob, radius, p_ws, robot_r,
+                                   n_constraints: int, n_samples: int):
+    """Multi-modal (GMM / non-Gaussian) variant: draw a mode per sample by
+    probability, then Gaussian noise around that mode (the reference's
+    scenario_module samples non-Gaussian predictions the same way;
+    ref data_types.h Prediction{modes, probabilities})."""
+    import jax
+    import jax.numpy as jnp
+
+    S = n_samples
+    M, K, Nm1 = modes_major.shape
+    k_mode, k_noise = jax.random.split(key)
+    mode_idx = jax.random.categorical(k_mode, modes_logprob, axis=-1, shape=(S, M))
+    # Gather per-sample mode tracks: [S, M, N-1(,2)]
+    pos = modes_position[jnp.arange(M)[None, :], mode_idx]
+    maj = modes_major[jnp.arange(M)[None, :], mode_idx]
+    mino = modes_minor[jnp.arange(M)[None, :], mode_idx]
+
+    noise = jax.random.normal(k_noise, (S, M, Nm1, 2))
+    samples = pos + jnp.stack([noise[..., 0] * maj, noise[..., 1] * mino], axis=-1)
+
+    flat = samples.reshape(S * M, Nm1, 2)
+    diff = flat - p_ws[None]
+    dist = jnp.maximum(jnp.linalg.norm(diff, axis=-1), 1e-9)
+    a1 = diff[..., 0] / dist
+    a2 = diff[..., 1] / dist
+    rad = jnp.tile(radius, S)[:, None] + robot_r
+    b = a1 * flat[..., 0] + a2 * flat[..., 1] - rad
+    margin = a1 * p_ws[None, :, 0] + a2 * p_ws[None, :, 1] - b
+
+    _, idx = jax.lax.top_k(margin.T, n_constraints)
+    kk = jnp.arange(Nm1)[:, None]
+    return a1.T[kk, idx], a2.T[kk, idx], b.T[kk, idx]
+
+
 class ScenarioConstraintModule(ConstraintModule):
     module_name = "ScenarioConstraints"
     description = "Scenario-based obstacle avoidance under motion uncertainty"
@@ -70,6 +106,7 @@ class ScenarioConstraintModule(ConstraintModule):
         self._planner = None
         self._sample_seed = 0
         self._sampler = None
+        self._sampler_mm = False
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         for d in range(self.n_discs):
@@ -152,24 +189,40 @@ class ScenarioConstraintModule(ConstraintModule):
         import jax
         import jax.numpy as jnp
 
-        if self._sampler is None:
+        multi_modal = blk.n_modes > 1
+        if self._sampler is None or self._sampler_mm != multi_modal:
             fn = functools.partial(
-                _device_scenario_halfspaces, n_constraints=nC, n_samples=S
+                _device_scenario_halfspaces_mm if multi_modal else _device_scenario_halfspaces,
+                n_constraints=nC, n_samples=S,
             )
             self._sampler = jax.jit(
                 jax.vmap(fn, in_axes=(0, None, None, None, None, None, None, None))
             )
+            self._sampler_mm = multi_modal
         keys = jax.random.split(jax.random.PRNGKey(self._sample_seed), B)
-        sel_a1, sel_a2, sel_b = self._sampler(
-            keys,
-            jnp.asarray(blk.pred_position[:, : N - 1], jnp.float32),
-            jnp.asarray(blk.pred_angle[:, : N - 1], jnp.float32),
-            jnp.asarray(blk.pred_major[:, : N - 1], jnp.float32),
-            jnp.asarray(blk.pred_minor[:, : N - 1], jnp.float32),
-            jnp.asarray(blk.radius, jnp.float32),
-            jnp.asarray(p_ws, jnp.float32),
-            jnp.float32(robot_r),
-        )
+        if multi_modal:
+            logprob = _np.log(_np.maximum(blk.modes_prob, 1e-12))
+            sel_a1, sel_a2, sel_b = self._sampler(
+                keys,
+                jnp.asarray(blk.modes_position[:, :, : N - 1], jnp.float32),
+                jnp.asarray(blk.modes_major[:, :, : N - 1], jnp.float32),
+                jnp.asarray(blk.modes_minor[:, :, : N - 1], jnp.float32),
+                jnp.asarray(logprob, jnp.float32),
+                jnp.asarray(blk.radius, jnp.float32),
+                jnp.asarray(p_ws, jnp.float32),
+                jnp.float32(robot_r),
+            )
+        else:
+            sel_a1, sel_a2, sel_b = self._sampler(
+                keys,
+                jnp.asarray(blk.pred_position[:, : N - 1], jnp.float32),
+                jnp.asarray(blk.pred_angle[:, : N - 1], jnp.float32),
+                jnp.asarray(blk.pred_major[:, : N - 1], jnp.float32),
+                jnp.asarray(blk.pred_minor[:, : N - 1], jnp.float32),
+                jnp.asarray(blk.radius, jnp.float32),
+                jnp.asarray(p_ws, jnp.float32),
+                jnp.float32(robot_r),
+            )
         sel_a1 = _np.asarray(sel_a1)  # [B, N-1, nC]
         sel_a2 = _np.asarray(sel_a2)
         sel_b = _np.asarray(sel_b)

@@ -55,3 +55,56 @@ def test_scenario_closed_loop(cfg):
     res = sim.run(max_steps=30)
     assert res.collisions == 0
     assert res.trajectory[-1][0] > 1.5  # forward progress
+
+
+def test_multimodal_scenario_sampling(cfg):
+    """GMM predictions: samples follow mode probabilities
+    (ref ObstacleGMM multi-modal predictions via scenario sampling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_planner_tpu.data_preparation import HostObstacle, HostPrediction, pack_obstacles
+    from mpc_planner_tpu.modules.scenario_constraints import _device_scenario_halfspaces_mm
+    from mpc_planner_tpu.types import PredictionType
+
+    N = cfg.N
+    # Two modes far apart: one straight ahead, one off to the side
+    o = HostObstacle(index=0, position=np.array([3.0, 0.0]), angle=0.0, radius=0.4)
+    pos_m0 = np.tile([3.0, 0.0], (N, 1))
+    pos_m1 = np.tile([0.0, 3.0], (N, 1))  # equidistant so both modes compete
+    o.prediction = HostPrediction(
+        type=int(PredictionType.NONGAUSSIAN),
+        positions=np.stack([pos_m0, pos_m1]),
+        angles=np.zeros((2, N)),
+        major=np.full((2, N), 0.05),
+        minor=np.full((2, N), 0.05),
+        probabilities=np.array([0.7, 0.3]),
+    )
+    blk = pack_obstacles([o], N)
+    assert blk.n_modes == 2
+    np.testing.assert_allclose(blk.modes_prob[0], [0.7, 0.3])
+    # pred_* carries the most probable mode
+    np.testing.assert_allclose(blk.pred_position[0, 0], [3.0, 0.0])
+
+    p_ws = np.zeros((N - 1, 2))
+    a1, a2, b = _device_scenario_halfspaces_mm(
+        jax.random.PRNGKey(0),
+        jnp.asarray(blk.modes_position[:, :, : N - 1], jnp.float32),
+        jnp.asarray(blk.modes_major[:, :, : N - 1], jnp.float32),
+        jnp.asarray(blk.modes_minor[:, :, : N - 1], jnp.float32),
+        jnp.asarray(np.log(np.maximum(blk.modes_prob, 1e-12)), jnp.float32),
+        jnp.asarray(blk.radius, jnp.float32),
+        jnp.asarray(p_ws, jnp.float32),
+        jnp.float32(cfg.robot_radius),
+        n_constraints=8,
+        n_samples=200,
+    )
+    assert np.all(np.isfinite(np.asarray(a1)))
+    # Both modes are equidistant from the warmstart, so the tightest-set
+    # selection should contain halfspaces facing each mode, with the more
+    # probable mode represented more often
+    a1n, a2n = np.asarray(a1), np.asarray(a2)
+    frac_mode0 = np.mean(a1n > 0.8)  # normals toward (3, 0)
+    frac_mode1 = np.mean(a2n > 0.8)  # normals toward (0, 3)
+    assert frac_mode0 > 0.2 and frac_mode1 > 0.05
+    assert frac_mode0 > frac_mode1  # 0.7 vs 0.3 probability
