@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 BASELINE_SOLVES_PER_SEC = 150.0  # 5 planners x 30 Hz (reference, CPU)
-BATCH = 256
+BATCH = 1024  # first compile ~5 min through the dev tunnel, steady ~34 ms
 REPS = 15
 RTI_ITERATIONS = 10
 

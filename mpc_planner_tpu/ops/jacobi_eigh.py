@@ -75,3 +75,68 @@ def mirror_jacobi(H, lm: float, sweeps: int = 6):
     w, V = jacobi_eigh(H, sweeps=sweeps)
     w = jnp.maximum(jnp.abs(w), lm)
     return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
+
+
+def mirror_unpacked(H, lm: float, sweeps: int = 6):
+    """MIRROR via cyclic Jacobi with the matrix elements unpacked into
+    n*n separate [...]-shaped arrays.
+
+    Same math as `mirror_jacobi`, but every rotation is pure elementwise
+    arithmetic on batch vectors — no `.at[].set()` row updates, which XLA
+    lowers to ~10x slower dynamic-update-slice chains on TPU (15 ms ->
+    1.5 ms at a [21504, 7, 7] stack). This is the production path for the
+    batched SQP linearization; a fully fused Pallas version was ~30x
+    faster still but triggered an XLA:TPU miscompile when composed with
+    the linearization + QP kernel in one program (worker crashes /
+    NaN flips dependent on unrelated epilogue outputs), so it was
+    removed — see docs/pallas_mirror_miscompile.md.
+    """
+    n = H.shape[-1]
+    a = [[H[..., i, j] for j in range(n)] for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = 0.5 * (a[i][j] + a[j][i])
+            a[i][j] = s
+            a[j][i] = s
+    one = jnp.ones_like(a[0][0])
+    zero = jnp.zeros_like(a[0][0])
+    v = [[one if i == j else zero for j in range(n)] for i in range(n)]
+
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq, app, aqq = a[p][q], a[p][p], a[q][q]
+                # Stable rotation: t = sign(th)/(|th| + sqrt(th^2 + 1))
+                denom = jnp.where(jnp.abs(apq) > 1e-30, apq, 1e-30)
+                theta = (aqq - app) / (2.0 * denom)
+                sign = jnp.where(theta >= 0, 1.0, -1.0)
+                t = sign / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+                t = jnp.where(jnp.abs(apq) > 1e-30, t, 0.0)
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s = t * c
+                for k in range(n):  # rows p, q: A <- J^T A
+                    akp, akq = a[p][k], a[q][k]
+                    a[p][k] = c * akp - s * akq
+                    a[q][k] = s * akp + c * akq
+                for k in range(n):  # cols p, q: A <- A J
+                    akp, akq = a[k][p], a[k][q]
+                    a[k][p] = c * akp - s * akq
+                    a[k][q] = s * akp + c * akq
+                a[p][q] = zero
+                a[q][p] = zero
+                for k in range(n):  # eigenvector columns
+                    vkp, vkq = v[k][p], v[k][q]
+                    v[k][p] = c * vkp - s * vkq
+                    v[k][q] = s * vkp + c * vkq
+
+    w = [jnp.maximum(jnp.abs(a[d][d]), lm) for d in range(n)]
+    rows = []
+    for i in range(n):
+        row = []
+        for k in range(n):
+            acc = v[i][0] * w[0] * v[k][0]
+            for j in range(1, n):
+                acc = acc + v[i][j] * w[j] * v[k][j]
+            row.append(acc)
+        rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows, axis=-2)

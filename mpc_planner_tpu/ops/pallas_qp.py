@@ -423,7 +423,15 @@ def solve_qp_pallas(
         outs = call(*(x[0] for x in inputs))
         dz, lam_l, lam_u, mu_out = (o[None] for o in outs)
     else:
-        dz, lam_l, lam_u, mu_out = jax.lax.map(lambda xs: call(*xs), inputs)
+        # Statically unrolled block loop. `jax.lax.map` here triggers an
+        # XLA:TPU miscompile at some block counts (G=2: all-NaN results /
+        # worker crashes, schedule-dependent on unrelated epilogue ops;
+        # G=8 happened to be fine) — see docs/pallas_mirror_miscompile.md.
+        # G is small (batch/128) so unrolling is also marginally faster.
+        per_block = [call(*(x[g] for x in inputs)) for g in range(G)]
+        dz, lam_l, lam_u, mu_out = (
+            jnp.stack([blk[i] for blk in per_block], axis=0) for i in range(4)
+        )
 
     def unblocks(x):
         return jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (Bp,))

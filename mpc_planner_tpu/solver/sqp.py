@@ -68,9 +68,9 @@ def _mirror(H, lm: float):
         w, V = jnp.linalg.eigh(H)
         w = jnp.maximum(jnp.abs(w), lm)
         return (V * w[..., None, :]) @ jnp.swapaxes(V, -1, -2)
-    from mpc_planner_tpu.ops.jacobi_eigh import mirror_jacobi
+    from mpc_planner_tpu.ops.jacobi_eigh import mirror_unpacked
 
-    return mirror_jacobi(H, lm)
+    return mirror_unpacked(H, lm)
 
 
 class SQPSolver:
@@ -288,15 +288,19 @@ class SQPSolver:
         with jax.default_matmul_precision("highest"):
             Z0 = Z0.at[:, 0, nu:].set(xinit)
 
+            from mpc_planner_tpu.ops.jacobi_eigh import mirror_unpacked
+
             def lin(Z, P_):
                 # Linearize without mirror, then mirror the whole [B*(N+1)]
-                # stack of stage Hessians as one 3D eigh (see _linearize
-                # docstring). The terminal row's zero u-block mirrors to
-                # lm*I on the u-diagonal, which the QP's terminal stage
-                # never reads.
+                # stack of stage Hessians with the element-unpacked Jacobi
+                # (~10x the .at[].set() Jacobi at B=1024; a fully fused
+                # Pallas mirror was faster still but miscompiled — see
+                # mirror_unpacked docstring). The terminal row's zero
+                # u-block mirrors to lm*I on the u-diagonal, which the
+                # QP's terminal stage never reads.
                 qp = jax.vmap(lambda z, p: self._linearize(z, p, mirror=False))(Z, P_)
                 Bb, Np1, nv, _ = qp.H.shape
-                H_m = _mirror(qp.H.reshape(Bb * Np1, nv, nv), self.lm)
+                H_m = mirror_unpacked(qp.H.reshape(Bb * Np1, nv, nv), self.lm)
                 return qp._replace(H=H_m.reshape(Bb, Np1, nv, nv))
 
             qp0 = lin(Z0, P)
