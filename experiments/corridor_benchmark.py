@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--max-steps", type=int, default=200)
+    ap.add_argument("--peds", type=int, nargs="*", default=[4, 8, 12])
+    ap.add_argument("--config", choices=["tmpc", "basic", "all"], default="all")
+    ap.add_argument("--no-braking-class", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
@@ -53,14 +56,22 @@ def main():
     xs = np.linspace(0, 25, 14)
     path = {"x": xs, "y": np.zeros_like(xs)}
     configs = {"T-MPC++": configuration_tmpc, "MPC (ellipsoid)": configuration_basic}
+    if args.config == "tmpc":
+        configs = {"T-MPC++": configuration_tmpc}
+    elif args.config == "basic":
+        configs = {"MPC (ellipsoid)": configuration_basic}
 
     print("| config | pedestrians | completion | duration [s] | collisions | infeasible |")
     print("|---|---|---|---|---|---|")
     for cfg_name, make_config in configs.items():
-        for n_peds in (4, 8, 12):
+        for n_peds in args.peds:
             durations, collisions, completed, infeasible = [], 0, 0, 0
             for seed in range(args.seeds):
                 cfg = default_config(N=20)
+                if args.no_braking_class:
+                    cfg = cfg.replace(
+                        t_mpc=cfg.t_mpc.__class__(braking_class=False)
+                    )
                 model, modules = make_config(cfg)
                 planner = Planner(model, modules, cfg)
                 sim = ClosedLoopSimulator(

@@ -32,6 +32,14 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+def _speed(state) -> float:
+    """Forward speed; holonomic models carry (vx, vy) instead of v."""
+    v = state.get("v")
+    if v == 0.0 and "v" not in getattr(state, "names", ["v"]):
+        v = float(np.hypot(state.get("vx"), state.get("vy")))
+    return max(v, 0.0)
+
+
 @dataclass
 class GuidanceTrajectory:
     positions: np.ndarray  # [N+1, 2]
@@ -39,6 +47,7 @@ class GuidanceTrajectory:
     signature: Tuple[int, ...]  # passing side per tracked obstacle (+1 left / -1 right / 0 n.a.)
     obstacle_ids: Tuple[int, ...]  # which obstacles the signature refers to
     previously_selected: bool = False
+    braking: bool = False  # decelerate-to-stop class (no passing signature)
 
 
 class GuidancePlanner:
@@ -49,7 +58,10 @@ class GuidancePlanner:
         self.n_paths = cfg.t_mpc.n_paths
         self.max_tracked = 4  # side-enumerated obstacles (2^4 combos max)
         self.clearance = cfg.robot_radius + cfg.obstacle_radius + 0.25
-        self.selected_signature: Optional[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None
+        # (obstacle_ids, signature, braking) of the winning class
+        self.selected_signature: Optional[
+            Tuple[Tuple[int, ...], Tuple[int, ...], bool]
+        ] = None
 
     def reset(self) -> None:
         self.selected_signature = None
@@ -67,7 +79,7 @@ class GuidancePlanner:
         N, dt = cfg.N, cfg.dt
 
         # Nominal progress: ramp from current speed toward v_ref
-        v0 = max(state.get("v"), 0.0)
+        v0 = _speed(state)
         a_max = 1.5
         v_prof = np.minimum(v_ref, v0 + a_max * dt * np.arange(N + 1))
         s_prof = np.clip(s0 + np.concatenate([[0.0], np.cumsum(v_prof[:-1] * dt)]),
@@ -103,7 +115,10 @@ class GuidancePlanner:
             traj = GuidanceTrajectory(
                 positions=nominal, s=s_prof, signature=sig, obstacle_ids=())
             traj.previously_selected = self._matches_selected(traj)
-            return [traj]
+            out = [traj]
+            if getattr(cfg.t_mpc, "braking_class", False):
+                out.append(self._braking_trajectory(state, path, s0))
+            return out
 
         # Enumerate side combinations, nearest obstacle varies fastest
         combos = list(itertools.product((+1, -1), repeat=len(tracked)))
@@ -158,7 +173,31 @@ class GuidancePlanner:
                 )
                 traj.previously_selected = self._matches_selected(traj)
                 trajectories.append(traj)
+        if getattr(cfg.t_mpc, "braking_class", False):
+            trajectories.append(self._braking_trajectory(state, path, s0))
         return trajectories
+
+    def _braking_trajectory(self, state, path, s0: float) -> GuidanceTrajectory:
+        """Decelerate-to-stop class: stay in lane, comfortable decel to 0.
+
+        Gives T-MPC a feasible plan when every passing class is blocked
+        (dense crowds) — the TPU batch is wide enough that reserving a
+        lane for "slow down" costs nothing."""
+        cfg = self.cfg
+        N, dt = cfg.N, cfg.dt
+        decel = getattr(cfg.t_mpc, "braking_deceleration", 2.0)
+        v0 = _speed(state)
+        v_prof = np.maximum(0.0, v0 - decel * dt * np.arange(N + 1))
+        s_prof = np.clip(
+            s0 + np.concatenate([[0.0], np.cumsum(v_prof[:-1] * dt)]),
+            0.0, path.length,
+        )
+        traj = GuidanceTrajectory(
+            positions=path.at(s_prof), s=s_prof, signature=(),
+            obstacle_ids=(), braking=True,
+        )
+        traj.previously_selected = self._matches_selected(traj)
+        return traj
 
     def _lateral_profile(self, tracked, combo, lat, lon, radius, N) -> np.ndarray:
         """Offset profile l_k clearing each tracked obstacle on its side."""
@@ -196,7 +235,9 @@ class GuidancePlanner:
     def _matches_selected(self, traj: GuidanceTrajectory) -> bool:
         if self.selected_signature is None:
             return False
-        sel_ids, sel_sig = self.selected_signature
+        sel_ids, sel_sig, sel_braking = self.selected_signature
+        if sel_braking or traj.braking:
+            return sel_braking and traj.braking
         # Compare on common obstacle ids
         common = set(sel_ids) & set(traj.obstacle_ids)
         if not common and (sel_ids or traj.obstacle_ids):
@@ -212,4 +253,6 @@ class GuidancePlanner:
         if traj is None:
             self.selected_signature = None
         else:
-            self.selected_signature = (tuple(traj.obstacle_ids), tuple(traj.signature))
+            self.selected_signature = (
+                tuple(traj.obstacle_ids), tuple(traj.signature), traj.braking
+            )

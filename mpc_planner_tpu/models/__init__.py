@@ -1,6 +1,7 @@
 from mpc_planner_tpu.models.dynamics import (
     DynamicsModel,
     SecondOrderUnicycleModel,
+    PointMassModel,
     ContouringSecondOrderUnicycleModel,
     ContouringSecondOrderUnicycleModelCurvatureAware,
     ContouringSecondOrderUnicycleModelWithSlack,
@@ -11,6 +12,7 @@ from mpc_planner_tpu.models.dynamics import (
 __all__ = [
     "DynamicsModel",
     "SecondOrderUnicycleModel",
+    "PointMassModel",
     "ContouringSecondOrderUnicycleModel",
     "ContouringSecondOrderUnicycleModelCurvatureAware",
     "ContouringSecondOrderUnicycleModelWithSlack",

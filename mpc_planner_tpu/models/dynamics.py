@@ -151,6 +151,25 @@ class SecondOrderUnicycleModel(DynamicsModel):
         return self.continuous_model(x_int, u)
 
 
+class PointMassModel(DynamicsModel):
+    """Holonomic double-integrator (omnidirectional base, e.g. Dingo).
+
+    Ref mpc_planner_dingo/scripts/generate_dingo_solver.py:31-45
+    (ContouringPointMassModel): states (x, y, vx, vy), inputs (ax, ay).
+    """
+
+    states = ("x", "y", "vx", "vy")
+    inputs = ("ax", "ay")
+    lower_bound = (-1.0, -1.0, -200.0, -200.0, -1.0, -1.0)
+    upper_bound = (1.0, 1.0, 200.0, 200.0, 1.0, 1.0)
+
+    def continuous_model(self, x, u):
+        return jnp.stack([x[..., 2], x[..., 3], u[..., 0], u[..., 1]], axis=-1)
+
+    def continuous_model_integrated(self, x_full, x_int, u):
+        return self.continuous_model(x_int, u)
+
+
 class ContouringSecondOrderUnicycleModel(DynamicsModel):
     """Unicycle + spline-progress state (ref solver_model.py:193-214)."""
 

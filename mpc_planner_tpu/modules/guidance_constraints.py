@@ -42,6 +42,7 @@ class GuidanceConstraintModule(ConstraintModule):
         self.enable_constraints = cfg.t_mpc.enable_constraints
         self.n_planners = (
             cfg.t_mpc.n_paths * max(1, cfg.t_mpc.samples_per_class)
+            + (1 if getattr(cfg.t_mpc, "braking_class", False) else 0)
             + (1 if self.use_tmpc_pp else 0)
         )
         # Set by the planner/guidance layer each cycle:
@@ -134,7 +135,11 @@ class GuidanceConstraintModule(ConstraintModule):
 
         for i, traj in enumerate(trajs):
             Z0[i] = self._warmstart_from_guidance(model, traj, Z_main)
-            if self.enable_constraints:
+            # Braking class: safety submodule only, no topology halfspaces
+            # (like the reference's non-guided planner) — a stop-in-lane
+            # plan must stay feasible even when every passing side is
+            # blocked.
+            if self.enable_constraints and not getattr(traj, "braking", False):
                 a1, a2, b = self._topology_halfspaces(traj, blk, robot_radius)
                 P[i][1:N, a1_idx[: blk.position.shape[0]]] = a1
                 P[i][1:N, a2_idx[: blk.position.shape[0]]] = a2
@@ -153,15 +158,32 @@ class GuidanceConstraintModule(ConstraintModule):
         exit_codes = _np.asarray(res.exit_code)
         pobj = _np.asarray(res.pobj, dtype=float).copy()
 
-        # Consistency bonus for the previously selected class (ref :358-359)
+        # Consistency bonus for the previously selected class (ref :358-359).
+        # The braking class is exempt: it is an emergency plan, and making
+        # it sticky freezes the robot (selected once -> bonus -> selected
+        # forever while pedestrians crowd around the stopped robot).
         for i, traj in enumerate(trajs):
-            if traj.previously_selected:
+            if traj.previously_selected and not getattr(traj, "braking", False):
                 pobj[i] *= cfg.t_mpc.selection_weight_consistency
 
         feasible = exit_codes == 1
         if not feasible.any():
             self.guidance.override_selected(None)
             return {"Z": Z_main, "exit_code": int(exit_codes[0]), "pobj": float("inf")}
+
+        # The braking class competes ONLY when nothing else is feasible:
+        # warmstarted at a stop with no topology constraints it converges
+        # to a "dawdle behind the crowd" local optimum that often costs
+        # less than an overtake, and letting it win on cost drags the
+        # whole planner into a slow-mode attractor (measured: 12-ped
+        # corridor completion 2/3 -> 0/3). As an emergency-only lane it
+        # retains its purpose: a feasible stop when every pass is blocked.
+        braking_mask = _np.array(
+            [getattr(t, "braking", False) for t in trajs]
+            + [False] * (B - len(trajs)), dtype=bool
+        )
+        if (feasible & ~braking_mask).any():
+            feasible = feasible & ~braking_mask
 
         masked = _np.where(feasible, pobj, _np.inf)
         best = int(_np.argmin(masked))
@@ -227,6 +249,16 @@ class GuidanceConstraintModule(ConstraintModule):
             Z[-1, model.index("w")] = 0.0
         except KeyError:
             pass
+        # Holonomic (point-mass) models: velocity/acceleration components
+        if "vx" in model.states:
+            vel = _np.concatenate([d / dt, d[-1:] / dt])  # [N+1, 2]
+            Z[:, model.index("vx")] = vel[:, 0]
+            Z[:, model.index("vy")] = vel[:, 1]
+            acc = _np.diff(vel, axis=0) / dt
+            Z[:-1, model.index("ax")] = acc[:, 0]
+            Z[:-1, model.index("ay")] = acc[:, 1]
+            Z[-1, model.index("ax")] = 0.0
+            Z[-1, model.index("ay")] = 0.0
         return clip_to_bounds(model, Z)
 
     def _topology_halfspaces(self, traj, blk, robot_radius):

@@ -128,9 +128,26 @@ class Planner:
         self._Z = Z
         self._output.success = True
         self._output.pobj = pobj
+        if self.cfg.debug_limits:
+            self._report_bound_hits(Z)
         for k in range(1, self.N):
             self._output.trajectory.add(self.get_solution(k, "x"), self.get_solution(k, "y"))
         return self._output
+
+    def _report_bound_hits(self, Z, tol: float = 1e-3) -> None:
+        """debug_limits: report solution variables at their bounds (ref
+        acados_solver_interface.cpp:426-446 printIfBoundLimited)."""
+        from mpc_planner_tpu.utils.logging import print_warning as log_warning
+
+        lb = np.asarray(self.model.lower_bound)
+        ub = np.asarray(self.model.upper_bound)
+        names = list(self.model.inputs) + list(self.model.states)
+        Zc = np.asarray(Z)
+        for j, name in enumerate(names):
+            if np.isfinite(lb[j]) and np.any(Zc[:, j] <= lb[j] + tol):
+                log_warning(f"[debug_limits] '{name}' hits its lower bound {lb[j]}")
+            if np.isfinite(ub[j]) and np.any(Zc[:, j] >= ub[j] - tol):
+                log_warning(f"[debug_limits] '{name}' hits its upper bound {ub[j]}")
 
     # -- helpers -----------------------------------------------------------
     def _publish_warmstart(self, module_data: ModuleData) -> None:

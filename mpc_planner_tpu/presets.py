@@ -18,10 +18,13 @@ from mpc_planner_tpu.data_preparation import (
 from mpc_planner_tpu.models import (
     ContouringSecondOrderUnicycleModel,
     ContouringSecondOrderUnicycleModelWithSlack,
+    PointMassModel,
 )
 from mpc_planner_tpu.modules import (
     ContouringModule,
+    DecompConstraintModule,
     EllipsoidConstraintModule,
+    GaussianConstraintModule,
     GoalModule,
     GuidanceConstraintModule,
     ModuleManager,
@@ -30,6 +33,7 @@ from mpc_planner_tpu.modules import (
     ScenarioConstraintModule,
 )
 from mpc_planner_tpu.types import RealTimeData, State
+from mpc_planner_tpu.utils.config import default_config
 
 
 def _add_base(modules: ModuleManager, cfg) -> MPCBaseModule:
@@ -102,6 +106,130 @@ def configuration_lmpcc(cfg):
     modules.add_module(PathReferenceVelocityModule(cfg))
     modules.add_module(EllipsoidConstraintModule(cfg))
     return model, modules
+
+
+# -- per-system presets ------------------------------------------------------
+# One factory per reference system package (SURVEY.md §2.3 "System nodes x4"),
+# each returning (cfg, model, modules) with the package's settings.yaml
+# horizon/step/iteration values baked in.
+
+def system_jackalsimulator(variant: str = "tmpc", **overrides):
+    """mpc_planner_jackalsimulator: N=30, dt=0.2, 10 RTI iterations
+    (config/settings.yaml:2-17)."""
+    kw = dict(name="jackalsimulator", N=30, integrator_step=0.2)
+    kw.update(overrides)
+    cfg = default_config(**kw)
+    builders = {
+        "tmpc": configuration_tmpc,
+        "basic": configuration_basic,
+        "no_obstacles": configuration_no_obstacles,
+        "safe_horizon": configuration_safe_horizon,
+        "lmpcc": configuration_lmpcc,
+    }
+    model, modules = builders[variant](cfg)
+    return cfg, model, modules
+
+
+def system_jackal(variant: str = "tmpc", **overrides):
+    """mpc_planner_jackal (real robot): N=30, dt=0.2; T-MPC uses the
+    GAUSSIAN safety submodule (generate_jackal_solver.py:70 —
+    GuidanceConstraintModule(constraint_submodule=GaussianConstraintModule));
+    the goal variant is goal-tracking + ellipsoids (:31-50)."""
+    kw = dict(name="jackal", N=30, integrator_step=0.2)
+    kw.update(overrides)
+    cfg = default_config(**kw)
+    if variant == "tmpc":
+        model, modules = configuration_no_obstacles(cfg)
+        modules.add_module(GuidanceConstraintModule(cfg, GaussianConstraintModule))
+    elif variant == "goal":
+        modules = ModuleManager()
+        model = ContouringSecondOrderUnicycleModel()
+        _add_base(modules, cfg)
+        modules.add_module(GoalModule(cfg))
+        modules.add_module(EllipsoidConstraintModule(cfg))
+    else:  # lmpcc (generate_jackal_solver.py:76-95)
+        model, modules = configuration_basic(cfg)
+    return cfg, model, modules
+
+
+def system_dingo(variant: str = "tmpc", **overrides):
+    """mpc_planner_dingo (omnidirectional): N=30, dt=0.1
+    (config/settings.yaml:2-3). T-MPC mirrors jackalsimulator
+    (generate_dingo_solver.py:48-65); the lmpcc variant uses the holonomic
+    point-mass model with goal tracking + T-MPC guidance (:68-85)."""
+    kw = dict(name="dingo", N=30, integrator_step=0.1)
+    kw.update(overrides)
+    cfg = default_config(**kw)
+    if variant == "tmpc":
+        model, modules = configuration_no_obstacles(cfg)
+        modules.add_module(GuidanceConstraintModule(cfg, EllipsoidConstraintModule))
+    else:  # point-mass goal tracking
+        modules = ModuleManager()
+        model = PointMassModel()
+        base = modules.add_module(MPCBaseModule(cfg))
+        base.weigh_variable("ax", "acceleration")
+        base.weigh_variable("ay", "acceleration")
+        modules.add_module(GoalModule(cfg))
+        modules.add_module(GuidanceConstraintModule(cfg, EllipsoidConstraintModule))
+    return cfg, model, modules
+
+
+def system_rosnavigation(variant: str = "lmpcc", **overrides):
+    """mpc_planner_rosnavigation (nav-stack local planner): N=20, dt=0.2,
+    4 RTI iterations (config/settings.yaml:2-13); every variant adds
+    costmap free-space DecompConstraints
+    (generate_rosnavigation_solver.py:33-128)."""
+    kw = dict(name="rosnavigation", N=20, integrator_step=0.2)
+    kw.update(overrides)
+    cfg = default_config(**kw)
+    if "solver" not in overrides:  # settings.yaml iterations: 4
+        cfg = cfg.replace(solver=cfg.solver.__class__(iterations=4))
+    if variant == "tmpc":  # :91-112 (slack model + guidance + decomp)
+        modules = ModuleManager()
+        model = ContouringSecondOrderUnicycleModelWithSlack()
+        base = modules.add_module(MPCBaseModule(cfg))
+        base.weigh_variable("a", "acceleration")
+        base.weigh_variable("w", "angular_velocity")
+        base.weigh_variable("slack", "slack")
+        if not cfg.contouring.dynamic_velocity_reference:
+            base.weigh_variable(
+                "v", ["velocity", "reference_velocity"],
+                cost_function=lambda x, w: w[0] * (x - w[1]) ** 2,
+            )
+        modules.add_module(ContouringModule(cfg))
+        if cfg.contouring.dynamic_velocity_reference:
+            modules.add_module(PathReferenceVelocityModule(cfg))
+        modules.add_module(GuidanceConstraintModule(cfg, EllipsoidConstraintModule))
+        modules.add_module(DecompConstraintModule(cfg))
+    elif variant == "safe_horizon":  # :64-88
+        model, modules = configuration_safe_horizon(cfg)
+        modules.add_module(DecompConstraintModule(cfg))
+    else:  # lmpcc, :33-61 + decomp (:128)
+        modules = ModuleManager()
+        model = ContouringSecondOrderUnicycleModel()
+        _add_base(modules, cfg)
+        modules.add_module(ContouringModule(cfg))
+        modules.add_module(PathReferenceVelocityModule(cfg))
+        modules.add_module(EllipsoidConstraintModule(cfg))
+        modules.add_module(DecompConstraintModule(cfg))
+    return cfg, model, modules
+
+
+SYSTEMS = {
+    "jackalsimulator": system_jackalsimulator,
+    "jackal": system_jackal,
+    "dingo": system_dingo,
+    "rosnavigation": system_rosnavigation,
+}
+
+
+def select_system(name: str, variant: str = None, **overrides):
+    """System selection by name (the reference's select_system.py picks
+    which robot package builds; here it picks the preset)."""
+    factory = SYSTEMS[name]
+    if variant is None:
+        return factory(**overrides)
+    return factory(variant=variant, **overrides)
 
 
 # -- scenes ----------------------------------------------------------------

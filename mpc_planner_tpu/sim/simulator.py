@@ -50,13 +50,19 @@ class ClosedLoopSimulator:
     """Drives a Planner against simulated pedestrians."""
 
     def __init__(self, planner, cfg, pedestrians: List[Pedestrian],
-                 reference_path: dict, social_forces: bool = False, seed: int = 0):
+                 reference_path: dict, social_forces: bool = False, seed: int = 0,
+                 robot_aware: bool = False):
         self.planner = planner
         self.cfg = cfg
         self.model = planner.model
         self.pedestrians = pedestrians
         self.reference_path = reference_path
         self.social_forces = social_forces
+        # pedestrian_simulator's social-forces pedestrians receive the robot
+        # state and avoid it like another agent; robot-blind pedestrians
+        # (False) walk straight into a stopped robot, which the reference's
+        # corridor experiment does not exhibit.
+        self.robot_aware = robot_aware
         self.rng = np.random.default_rng(seed)
 
     def _make_data(self, state: State) -> RealTimeData:
@@ -84,7 +90,7 @@ class ClosedLoopSimulator:
         data.ego_position = state.get_position()
         return data
 
-    def _step_pedestrians(self, dt: float) -> None:
+    def _step_pedestrians(self, dt: float, robot_position=None) -> None:
         for p in self.pedestrians:
             if self.social_forces:
                 # Light social-forces: goal attraction + pairwise repulsion
@@ -99,6 +105,11 @@ class ClosedLoopSimulator:
                     if q is p:
                         continue
                     diff = p.position - q.position
+                    d = np.linalg.norm(diff)
+                    if 1e-6 < d < 2.0:
+                        force += diff / d * np.exp(-(d - 0.8) / 0.3) * 2.0
+                if self.robot_aware and robot_position is not None:
+                    diff = p.position - robot_position
                     d = np.linalg.norm(diff)
                     if 1e-6 < d < 2.0:
                         force += diff / d * np.exp(-(d - 0.8) / 0.3) * 2.0
@@ -148,7 +159,7 @@ class ClosedLoopSimulator:
                 w = 0.0
 
             self._integrate_robot(state, a, w, dt)
-            self._step_pedestrians(dt)
+            self._step_pedestrians(dt, robot_position=state.get_position())
             velocities.append(state.get("v"))
             result.trajectory.append(state.get_position())
 

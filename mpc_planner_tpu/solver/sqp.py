@@ -52,10 +52,11 @@ def explain_exit_flag(code: int) -> str:
 
 class SolveResult(NamedTuple):
     Z: jnp.ndarray  # [.., N+1, nvar] solution trajectory (u, x per stage)
-    exit_code: jnp.ndarray  # int32: 1 success / -1 failure
+    exit_code: jnp.ndarray  # int32: 1 success / 0 max-iter (SQP) / -1 failure
     pobj: jnp.ndarray  # nonlinear objective at the solution
     res_eq: jnp.ndarray  # max dynamics defect
     qp_mu: jnp.ndarray  # final interior-point complementarity
+    iters: jnp.ndarray = None  # SQP iterations actually applied per element
 
 
 def _mirror(H, lm: float):
@@ -88,6 +89,16 @@ class SQPSolver:
         self.tol_eq = cfg.solver.tol_eq_residual
         self.mu0 = cfg.solver.qp_mu0
         self.mu_min = cfg.solver.qp_mu_min
+        # SQP_RTI: fixed iteration count (one per call in acados; iterated
+        # by the wrapper). SQP: same Newton loop but with a convergence
+        # freeze — elements whose step norm falls below tol_stationarity
+        # stop updating, and non-converged elements exit with code 0
+        # ("maximum iterations"), matching acados' iterated-SQP semantics
+        # (generate_acados_solver.py solver_type option; settings.yaml
+        # tolstat). The loop stays a fixed-length scan: deterministic
+        # cycle time on TPU, convergence only masks the update.
+        self.solver_type = getattr(cfg.solver, "solver_type", "SQP_RTI")
+        self.tol_stat = cfg.solver.tol_stationarity
 
         N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
         self.nrows = nu + nx + nh
@@ -241,17 +252,20 @@ class SQPSolver:
         # First QP: cold IP start, full iteration count. Subsequent RTI
         # iterations warm-start the duals from the previous QP (HPIPM
         # warm_start=2) and need far fewer IP iterations.
+        sqp_mode = self.solver_type == "SQP"
+
         qp0 = self._linearize(Z0, P)
         sol0 = solve_qp(qp0, nu, nx, iterations=self.qp_iterations,
                         mu0=self.mu0, mu_min=self.mu_min)
         Z1 = Z0 + sol0.dz  # FIXED_STEP globalization
+        done1 = jnp.max(jnp.abs(sol0.dz)) < self.tol_stat
         if num_iterations == 1:
-            Z, mus = Z1, sol0.mu[None]
+            Z, mus, done, iters = Z1, sol0.mu[None], done1, jnp.int32(1)
         else:
             warm_iters = max(6, self.qp_iterations * 2 // 3)
 
             def rti_iter(carry, _):
-                Z, lam_l, lam_u, mu_prev = carry
+                Z, lam_l, lam_u, mu_prev, done, iters = carry
                 qp = self._linearize(Z, P)
                 sol = solve_qp(
                     qp, nu, nx,
@@ -260,10 +274,18 @@ class SQPSolver:
                     mu_min=self.mu_min,
                     warm_duals=(lam_l, lam_u, mu_prev < 1e-2),
                 )
-                return (Z + sol.dz, sol.lam_l, sol.lam_u, sol.mu), sol.mu
+                if sqp_mode:
+                    Z_new = jnp.where(done, Z, Z + sol.dz)
+                    iters = iters + jnp.where(done, 0, 1).astype(jnp.int32)
+                    done = done | (jnp.max(jnp.abs(sol.dz)) < self.tol_stat)
+                else:
+                    Z_new = Z + sol.dz
+                    iters = iters + 1
+                return (Z_new, sol.lam_l, sol.lam_u, sol.mu, done, iters), sol.mu
 
-            (Z, _, _, _), mus = jax.lax.scan(
-                rti_iter, (Z1, sol0.lam_l, sol0.lam_u, sol0.mu), None,
+            (Z, _, _, _, done, iters), mus = jax.lax.scan(
+                rti_iter, (Z1, sol0.lam_l, sol0.lam_u, sol0.mu, done1,
+                           jnp.int32(1)), None,
                 length=num_iterations - 1,
             )
 
@@ -271,9 +293,19 @@ class SQPSolver:
         pobj = ocp.total_cost(Z, P)
         finite = jnp.isfinite(res_eq) & jnp.isfinite(pobj) & jnp.all(jnp.isfinite(Z))
         success = finite & (res_eq <= self.tol_eq)
-        exit_code = jnp.where(success, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
+        if sqp_mode:
+            # acados SQP: converged -> success; ran out of iterations with
+            # a finite iterate -> 0 ("maximum iterations"); else failure.
+            success = success & done
+            exit_code = jnp.where(
+                success, EXIT_SUCCESS,
+                jnp.where(finite & (res_eq <= self.tol_eq), 0, EXIT_FAILURE),
+            ).astype(jnp.int32)
+        else:
+            exit_code = jnp.where(success, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
         return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
-                           res_eq=res_eq, qp_mu=jnp.atleast_1d(mus)[-1])
+                           res_eq=res_eq, qp_mu=jnp.atleast_1d(mus)[-1],
+                           iters=iters)
 
     # -- fused batched solve (Pallas QP backend) --------------------------
     def _solve_batch_pallas(self, Z0, P, xinit, num_iterations: int):
@@ -303,28 +335,44 @@ class SQPSolver:
                 H_m = mirror_unpacked(qp.H.reshape(Bb * Np1, nv, nv), self.lm)
                 return qp._replace(H=H_m.reshape(Bb, Np1, nv, nv))
 
+            sqp_mode = self.solver_type == "SQP"
+            Bb = Z0.shape[0]
+
             qp0 = lin(Z0, P)
             sol0 = solve_qp_pallas(
                 qp0, nu, nx, iterations=self.qp_iterations, mu0=self.mu0
             )
             Z1 = Z0 + sol0.dz
+            done1 = jnp.max(jnp.abs(sol0.dz), axis=(1, 2)) < self.tol_stat  # [B]
             if num_iterations == 1:
-                Z, mu_last = Z1, sol0.mu
+                Z, mu_last, done = Z1, sol0.mu, done1
+                iters = jnp.ones((Bb,), jnp.int32)
             else:
                 warm_iters = max(6, self.qp_iterations * 2 // 3)
 
                 def rti_iter(carry, _):
-                    Z, ll, lu, mu = carry
+                    Z, ll, lu, mu, done, iters = carry
                     qp = lin(Z, P)
                     sol = solve_qp_pallas(
                         qp, nu, nx, iterations=warm_iters, mu0=self.mu0,
                         warm_duals=(ll, lu, mu < 1e-2),
                     )
-                    return (Z + sol.dz, sol.lam_l, sol.lam_u, sol.mu), None
+                    if sqp_mode:
+                        Z_new = jnp.where(done[:, None, None], Z, Z + sol.dz)
+                        iters = iters + jnp.where(done, 0, 1).astype(jnp.int32)
+                        done = done | (
+                            jnp.max(jnp.abs(sol.dz), axis=(1, 2)) < self.tol_stat
+                        )
+                    else:
+                        Z_new = Z + sol.dz
+                        iters = iters + 1
+                    return (Z_new, sol.lam_l, sol.lam_u, sol.mu, done, iters), None
 
-                (Z, _, _, mu_last), _ = jax.lax.scan(
-                    rti_iter, (Z1, sol0.lam_l, sol0.lam_u, sol0.mu), None,
-                    length=num_iterations - 1,
+                (Z, _, _, mu_last, done, iters), _ = jax.lax.scan(
+                    rti_iter,
+                    (Z1, sol0.lam_l, sol0.lam_u, sol0.mu, done1,
+                     jnp.ones((Bb,), jnp.int32)),
+                    None, length=num_iterations - 1,
                 )
 
             res_eq = jax.vmap(ocp.eq_residual)(Z, P)
@@ -334,10 +382,15 @@ class SQPSolver:
                 & jnp.isfinite(pobj)
                 & jnp.all(jnp.isfinite(Z), axis=(1, 2))
             )
-            success = finite & (res_eq <= self.tol_eq)
-            exit_code = jnp.where(success, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
+            ok = finite & (res_eq <= self.tol_eq)
+            if sqp_mode:
+                exit_code = jnp.where(
+                    ok & done, EXIT_SUCCESS, jnp.where(ok, 0, EXIT_FAILURE)
+                ).astype(jnp.int32)
+            else:
+                exit_code = jnp.where(ok, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
             return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
-                               res_eq=res_eq, qp_mu=mu_last)
+                               res_eq=res_eq, qp_mu=mu_last, iters=iters)
 
     # -- public API --------------------------------------------------------
     def _get_compiled(self, n: int, batched: bool):
@@ -369,7 +422,8 @@ class SQPSolver:
             )
             return SolveResult(Z=res.Z[0], exit_code=res.exit_code[0],
                                pobj=res.pobj[0], res_eq=res.res_eq[0],
-                               qp_mu=res.qp_mu[0])
+                               qp_mu=res.qp_mu[0],
+                               iters=None if res.iters is None else res.iters[0])
         return self._get_compiled(n, False)(
             jnp.asarray(Z0, jnp.float32),
             jnp.asarray(P, jnp.float32),

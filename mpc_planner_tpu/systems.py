@@ -85,6 +85,25 @@ def convert_obstacle_messages(
     return obstacles
 
 
+class Watchdog:
+    """Stale-loop detector (ref ros1_jackalsimulator.cpp:161-162: a timer
+    that resets the environment when the loop stops making progress).
+
+    `kick()` on every healthy event; `expired(now)` tells the embedding
+    system to trigger its reset hook (sim reset service / recovery)."""
+
+    def __init__(self, timeout: float = 5.0):
+        self.timeout = timeout
+        self._last = time.time()
+
+    def kick(self, now: Optional[float] = None) -> None:
+        self._last = time.time() if now is None else now
+
+    def expired(self, now: Optional[float] = None) -> bool:
+        now = time.time() if now is None else now
+        return (now - self._last) > self.timeout
+
+
 class RobotLoop:
     """Generic 20 Hz control-loop driver (ref ros1_jackalsimulator.cpp:153-230).
 
@@ -93,7 +112,7 @@ class RobotLoop:
     (:191-201).
     """
 
-    def __init__(self, planner, cfg):
+    def __init__(self, planner, cfg, watchdog_timeout: float = 5.0):
         self.planner = planner
         self.cfg = cfg
         self.state = State(planner.model)
@@ -101,6 +120,8 @@ class RobotLoop:
         self.data.robot_area = define_robot_area(
             cfg.robot.length, cfg.robot.width, cfg.n_discs
         )
+        self.watchdog = Watchdog(watchdog_timeout)
+        self.flipped = False
 
     def set_reference_path(self, x, y, v=None, left_bound=None, right_bound=None) -> None:
         self.data.reference_path = {"x": np.asarray(x, float), "y": np.asarray(y, float)}
@@ -119,7 +140,8 @@ class RobotLoop:
 
     def tick(self, pose, velocity: float, raw_obstacles: List[dict],
              costmap: Optional[np.ndarray] = None,
-             costmap_meta: Optional[dict] = None) -> Tuple[float, float, bool]:
+             costmap_meta: Optional[dict] = None,
+             roll: float = 0.0, pitch: float = 0.0) -> Tuple[float, float, bool]:
         """One control cycle. pose = (x, y, psi). Returns (v_cmd, w_cmd,
         success)."""
         cfg = self.cfg
@@ -128,7 +150,12 @@ class RobotLoop:
         self.state.set("psi", pose[2])
         self.state.set("v", velocity)
 
-        # Flipped-robot guard (ref :235-239 uses roll/pitch; here velocity sanity)
+        # Flipped-robot guard (ref :235-239: |roll| or |pitch| > ~90deg
+        # means the robot tipped over -> stop output, flag for reset)
+        self.flipped = abs(roll) > np.pi / 2.2 or abs(pitch) > np.pi / 2.2
+        if self.flipped:
+            return 0.0, 0.0, False
+
         self.data.planning_start_time = time.time()
         self.data.ego_position = self.state.get_position()
         obstacles = convert_obstacle_messages(cfg, self.state, raw_obstacles)
@@ -140,6 +167,7 @@ class RobotLoop:
 
         output = self.planner.solve_mpc(self.state, self.data)
         if output.success:
+            self.watchdog.kick()
             # Actuation convention (ref :185-186): v = x_1's velocity,
             # w = u_0's angular rate
             v_cmd = self.planner.get_solution(1, "v")

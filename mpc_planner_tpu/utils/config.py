@@ -46,6 +46,17 @@ class TMPCConfig:
     n_paths: int = 4  # homotopy classes (ref guidance_planner.yaml:11)
     samples_per_class: int = 1  # warmstart variations per class (batch axis)
     selection_weight_consistency: float = 0.75  # bonus for previously chosen class
+    # Extra decelerate-to-stop guidance class (opt-in): when every
+    # side-passing class is infeasible the batch still contains a feasible
+    # "slow down in lane" plan, so the cycle reports success instead of
+    # falling back to the open-loop brake (ref ros1_jackalsimulator.cpp:
+    # 191-201). Selection-gated to emergencies only; still DEFAULT OFF:
+    # in the corridor benchmark with robot-blind pedestrians a gently
+    # stopping robot gets engulfed by the crowd (completion 2/3 -> 0/3),
+    # while the reference-equivalent hard open-loop brake recovers better.
+    # Enable for deployments where pedestrians yield to a stopped robot.
+    braking_class: bool = False
+    braking_deceleration: float = 2.0  # [m/s^2] comfortable decel profile
 
 
 @dataclass(frozen=True)

@@ -95,3 +95,60 @@ def test_live_weight_tuning_no_recompile(cfg):
     assert len(planner.solver._compiled) == n_compiled  # no recompilation
     if out1.success and out2.success:
         assert abs(out1.pobj - out2.pobj) > 1e-6  # weights took effect
+
+
+def test_distributed_step_on_virtual_mesh(cfg):
+    """Multi-host driver layer on the 8-device virtual mesh (single
+    process: every shard local; same code path as a pod slice)."""
+    from mpc_planner_tpu.models import SecondOrderUnicycleModel
+    from mpc_planner_tpu.modules import GoalModule, ModuleManager, MPCBaseModule
+    from mpc_planner_tpu.parallel import (
+        batch_mesh,
+        distributed_solve_step,
+        global_batch_size,
+        host_shard_slice,
+        host_sharded_batch,
+    )
+    from mpc_planner_tpu.parameters import ParameterBlock
+    from mpc_planner_tpu.solver import OCP, SQPSolver
+    from mpc_planner_tpu.solver.warmstart import initialize_with_state
+    from mpc_planner_tpu.types import ModuleData, RealTimeData, State
+
+    model = SecondOrderUnicycleModel()
+    mgr = ModuleManager()
+    base = mgr.add_module(MPCBaseModule(cfg))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mgr.add_module(GoalModule(cfg))
+    ocp = OCP(model, mgr, cfg)
+    solver = SQPSolver(ocp, iterations=2, qp_iterations=6)
+
+    data = RealTimeData()
+    data.goal = np.array([4.0, 0.0])
+    data.goal_received = True
+    pblock = ParameterBlock(ocp.params, cfg.N + 1)
+    mgr.set_parameters_all(data, ModuleData(), pblock)
+
+    B = global_batch_size(16)
+    assert host_shard_slice(B) == slice(0, B)  # single process owns all
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    rng = np.random.default_rng(3)
+    Z0b = np.tile(Z0[None], (B, 1, 1)).astype(np.float32)
+    Z0b[:, 1:, model.nu:] += rng.normal(0, 0.03, Z0b[:, 1:, model.nu:].shape)
+    Pb = np.tile(pblock.data[None], (B, 1, 1)).astype(np.float32)
+    xb = np.tile(np.zeros(model.nx)[None], (B, 1)).astype(np.float32)
+    consistency = np.ones(B, np.float32)
+    consistency[3] = 0.75  # previously selected class
+
+    mesh = batch_mesh()
+    Z0b, Pb, xb, consistency = host_sharded_batch(mesh, (Z0b, Pb, xb, consistency))
+    step = distributed_solve_step(solver, mesh, num_iterations=2)
+    Zw, idx, found, res = step(Z0b, Pb, xb, consistency)
+    assert bool(found)
+    assert Zw.shape == (cfg.N + 1, model.nvar)
+    assert np.all(np.isfinite(np.asarray(Zw)))
+    # Winner equals its row in the batch result
+    np.testing.assert_allclose(
+        np.asarray(Zw), np.asarray(res.Z)[int(idx)], rtol=1e-6, atol=1e-6
+    )

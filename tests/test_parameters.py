@@ -63,3 +63,38 @@ def test_parameter_block_fill():
     assert np.all(blk.data[:, 1:] == np.array([1.0, 2.0, 3.0]))
     blk.set_bundle_all_stages("s", np.arange(15).reshape(5, 3))
     assert blk.get(2, "s1") == 7.0
+
+
+def test_solver_maps_contract(cfg, tmp_path):
+    """The three generated-map YAMLs (ref generate_solver.py:38-46,
+    util/parameters.py:69-74, solver_model.py:118-128) round-trip."""
+    import yaml
+
+    from mpc_planner_tpu.models import ContouringSecondOrderUnicycleModel
+    from mpc_planner_tpu.modules import (
+        ContouringModule, EllipsoidConstraintModule, ModuleManager, MPCBaseModule,
+    )
+    from mpc_planner_tpu.solver import OCP
+    from mpc_planner_tpu.solver.maps import save_solver_maps
+
+    model = ContouringSecondOrderUnicycleModel()
+    mgr = ModuleManager()
+    base = mgr.add_module(MPCBaseModule(cfg))
+    base.weigh_variable("a", "acceleration")
+    mgr.add_module(ContouringModule(cfg))
+    mgr.add_module(EllipsoidConstraintModule(cfg))
+    ocp = OCP(model, mgr, cfg)
+
+    paths = save_solver_maps(str(tmp_path), model, ocp)
+    settings = yaml.safe_load(open(paths["solver_settings"]))
+    assert settings["N"] == cfg.N
+    assert settings["nx"] == 5 and settings["nu"] == 2 and settings["nvar"] == 7
+    assert settings["nh"] == cfg.max_obstacles * cfg.n_discs
+
+    pmap = yaml.safe_load(open(paths["parameter_map"]))
+    assert pmap == ocp.params.save_map()
+    assert len(pmap) == settings["npar"]
+
+    mmap = yaml.safe_load(open(paths["model_map"]))
+    assert mmap["x"][0] == "x" and mmap["a"][0] == "u"
+    assert mmap["spline"][1] == model.index("spline")

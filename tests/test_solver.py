@@ -171,3 +171,51 @@ def test_braking_initialization():
     # Stored inputs are clipped into the model bounds (the -3 deceleration
     # exceeds the [-2, 2] input bound; see clip_to_bounds docstring)
     np.testing.assert_allclose(Z[:, model.index("a")], model.lower_bound[0])
+
+
+def test_sqp_mode_converges_and_freezes(cfg):
+    """solver_type=SQP: iterates to convergence (step < tolstat), freezes
+    converged iterates, reports iterations used and exit code semantics
+    (1 converged / 0 max-iter) — ref acados SQP option
+    (generate_acados_solver.py solver_type, settings.yaml tolstat)."""
+    from mpc_planner_tpu.solver.warmstart import initialize_with_state
+
+    cfg_sqp = cfg.replace(
+        solver=cfg.solver.__class__(
+            iterations=15, qp_iterations=10, solver_type="SQP"
+        )
+    )
+    model, ocp, solver, pblock = _goal_setup(cfg_sqp)
+    assert solver.solver_type == "SQP"
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg_sqp.N, state)
+    xinit = np.array([state.get(n) for n in model.states])
+    res = solver.solve(Z0, pblock.data, xinit)
+    assert int(res.exit_code) == 1  # converged within 15 iterations
+    assert int(res.iters) < 15  # froze early
+    # Converged solution matches a long RTI run
+    model2, ocp2, solver_rti, pblock2 = _goal_setup(cfg_sqp.replace(
+        solver=cfg_sqp.solver.__class__(iterations=15, qp_iterations=10)
+    ))
+    res_rti = solver_rti.solve(Z0, pblock2.data, xinit)
+    np.testing.assert_allclose(np.asarray(res.Z), np.asarray(res_rti.Z),
+                               atol=2e-2)
+
+
+def test_sqp_mode_max_iter_exit_code(cfg):
+    """Too few iterations for convergence -> exit code 0 (max iterations),
+    not failure (the iterate is still usable)."""
+    from mpc_planner_tpu.solver.warmstart import initialize_with_state
+
+    cfg_sqp = cfg.replace(
+        solver=cfg.solver.__class__(
+            iterations=2, qp_iterations=10, solver_type="SQP",
+            tol_stationarity=1e-9,  # unreachably tight
+        )
+    )
+    model, ocp, solver, pblock = _goal_setup(cfg_sqp, goal=(8.0, 3.0))
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg_sqp.N, state)
+    xinit = np.array([state.get(n) for n in model.states])
+    res = solver.solve(Z0, pblock.data, xinit)
+    assert int(res.exit_code) == 0

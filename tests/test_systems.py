@@ -81,3 +81,45 @@ def test_navigation_planner_rotate_to_goal(cfg):
     assert v == 0.0 and w > 0.0
     assert not nav.is_goal_reached(np.array([5.0, 0.0, 0.0]))
     assert nav.is_goal_reached(np.array([5.0, 0.0, np.pi / 2]))
+
+
+def test_flipped_robot_detection(cfg):
+    """Tipped-over robot -> zero command, flagged (ref ros1_jackalsimulator
+    .cpp:235-239)."""
+    loop, model = _make_loop(cfg)
+    xs = np.linspace(0, 10, 6)
+    loop.set_reference_path(xs, np.zeros_like(xs))
+    v, w, ok = loop.tick((0.0, 0.0, 0.0), 1.0, [], roll=2.0)
+    assert (v, w, ok) == (0.0, 0.0, False)
+    assert loop.flipped
+    v, w, ok = loop.tick((0.0, 0.0, 0.0), 1.0, [])
+    assert not loop.flipped
+
+
+def test_watchdog_expiry(cfg):
+    from mpc_planner_tpu.systems import Watchdog
+
+    wd = Watchdog(timeout=0.5)
+    wd.kick(now=100.0)
+    assert not wd.expired(now=100.4)
+    assert wd.expired(now=100.6)
+    wd.kick(now=101.0)
+    assert not wd.expired(now=101.2)
+
+
+def test_debug_limits_reports_bound_hits(cfg, capsys):
+    """debug_limits prints which variables sit at their bounds (ref
+    acados_solver_interface.cpp:426-446)."""
+    from mpc_planner_tpu.planner import Planner
+    from mpc_planner_tpu.types import RealTimeData
+
+    cfg2 = cfg.replace(debug_limits=True)
+    model, modules = configuration_basic(cfg2)
+    planner = Planner(model, modules, cfg2)
+    Z = np.zeros((cfg2.N + 1, model.nvar))
+    Z[:, model.index("a")] = model.upper_bound[model.index("a")]  # saturated
+    Z[:, model.index("v")] = model.lower_bound[model.index("v")]
+    planner._report_bound_hits(Z)
+    captured = capsys.readouterr()
+    assert "'a' hits its upper bound" in captured.out
+    assert "'v' hits its lower bound" in captured.out

@@ -83,6 +83,63 @@ def test_tmpc_consistency_bonus(cfg):
     assert any(t.previously_selected for t in gmod._trajectories)
 
 
+def test_guidance_braking_class(cfg):
+    """With braking_class on, a decelerate-to-stop class is in the batch."""
+    cfg = cfg.replace(t_mpc=cfg.t_mpc.__class__(braking_class=True))
+    model, modules = configuration_tmpc(cfg)
+    planner = Planner(model, modules, cfg)
+    state, data = _blocking_scene(cfg)
+    planner.on_data_received(data, "reference_path")
+    planner.solve_mpc(state, data)
+    gmod = modules.get("GuidanceConstraints")
+    braking = [t for t in gmod._trajectories if t.braking]
+    assert len(braking) == 1
+    bt = braking[0]
+    # Progress must be monotone and stalling (decelerating to a stop)
+    ds = np.diff(bt.s)
+    assert (ds >= -1e-9).all()
+    assert ds[-1] <= ds[0] + 1e-9
+    v0 = state.get("v")
+    expect_stop_steps = int(np.ceil(v0 / (cfg.t_mpc.braking_deceleration * cfg.dt)))
+    if expect_stop_steps < cfg.N:
+        assert ds[-1] < 1e-6  # fully stopped within the horizon
+
+
+def test_tmpc_blocked_corridor_brakes(cfg):
+    """A wall of pedestrians blocks every passing side: the braking class
+    keeps the cycle feasible and the plan decelerates instead of failing."""
+    from mpc_planner_tpu.data_preparation import (
+        HostObstacle,
+        ensure_obstacle_size,
+        get_constant_velocity_prediction,
+        pack_obstacles,
+    )
+
+    cfg = cfg.replace(t_mpc=cfg.t_mpc.__class__(braking_class=True))
+    model, modules = configuration_tmpc(cfg)
+    planner = Planner(model, modules, cfg)
+    state, data = corridor_scene(cfg, n_pedestrians=0, seed=0)
+    state.set("v", 1.0)
+    obstacles = []
+    for i, py in enumerate(np.linspace(-1.6, 1.6, 7)):
+        o = HostObstacle(index=i, position=np.array([2.5, py]), angle=0.0, radius=0.45)
+        o.prediction = get_constant_velocity_prediction(
+            o.position, np.zeros(2), cfg.dt, cfg.N, cfg.probabilistic.enable
+        )
+        obstacles.append(o)
+    obstacles = ensure_obstacle_size(
+        obstacles, state, cfg.max_obstacles, cfg.N, cfg.dt, cfg.probabilistic.enable
+    )
+    data.dynamic_obstacles = obstacles
+    data.obstacle_block = pack_obstacles(obstacles, cfg.N)
+    planner.on_data_received(data, "reference_path")
+    out = planner.solve_mpc(state, data)
+    assert out.success
+    # The winning plan must not drive through the wall at x=2.5
+    xs = np.asarray(out.trajectory.positions)[:, 0]
+    assert xs.max() < 2.5
+
+
 def test_tmpc_closed_loop_no_collisions(cfg):
     """Short corridor run: progress without collisions or infeasibility."""
     model, modules = configuration_tmpc(cfg)
