@@ -1,3 +1,20 @@
 from mpc_planner_tpu.guidance.homotopy import GuidancePlanner, GuidanceTrajectory
+from mpc_planner_tpu.guidance.prm import VisibilityPRMPlanner
 
-__all__ = ["GuidancePlanner", "GuidanceTrajectory"]
+
+def make_guidance_planner(cfg):
+    """Guidance backend factory (t_mpc.guidance_backend)."""
+    backend = getattr(cfg.t_mpc, "guidance_backend", "lateral")
+    if backend == "prm":
+        return VisibilityPRMPlanner(cfg)
+    if backend == "lateral":
+        return GuidancePlanner(cfg)
+    raise ValueError(f"Unknown guidance backend '{backend}' (lateral | prm)")
+
+
+__all__ = [
+    "GuidancePlanner",
+    "GuidanceTrajectory",
+    "VisibilityPRMPlanner",
+    "make_guidance_planner",
+]

@@ -1,0 +1,285 @@
+"""Visibility-PRM guidance in (x, y, t) with homology-class filtering.
+
+Full-parity replacement for the reference's external `guidance_planner`
+dependency (SURVEY.md §2.4: Visibility-PRM over space-time with
+Homology/UVD/winding comparison, consumed by
+mpc_planner_modules/src/guidance_constraints.cpp:32-108; configured by
+mpc_planner_jackalsimulator/config/guidance_planner.yaml: 30 PRM samples,
+n_paths=4, seeded sampling, homology comparison).
+
+Where guidance/homotopy.py *constructs* homotopy classes directly in the
+path frame (fast, deterministic — the default backend), this module
+*searches* for them the way the reference does:
+
+  1. sample nodes in the (x, y, k) space-time volume between the robot
+     and goal points placed along/around the reference path,
+  2. connect nodes with "visibility" edges — straight space-time segments
+     that are collision-free w.r.t. the moving obstacle predictions and
+     respect a velocity budget,
+  3. run a homology-aware dynamic program over the (time-monotone) graph:
+     each node keeps the best-cost path per winding signature, where the
+     signature accumulates the relative-angle sweep of robot-minus-
+     obstacle along the path (the winding-number H-signature the T-MPC
+     paper uses for dynamic environments),
+  4. extract up to n_paths cheapest goal-reaching paths with distinct
+     passing-side signatures and resample them onto the planner horizon.
+
+Everything is vectorized numpy on the host (the reference's PRM is a
+~ms-scale CPU search as well; SURVEY.md §7.7 keeps it host-side by
+design). The output is the same `GuidanceTrajectory` contract the
+batched T-MPC solve consumes, so the two backends are interchangeable
+via `t_mpc.guidance_backend`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mpc_planner_tpu.guidance.homotopy import (
+    GuidancePlanner,
+    GuidanceTrajectory,
+    _speed,
+)
+
+
+class VisibilityPRMPlanner(GuidancePlanner):
+    """Space-time Visibility-PRM backend (ref guidance_planner behavior)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        t = cfg.t_mpc
+        self.n_samples = getattr(t, "prm_n_samples", 30)
+        self.seed = getattr(t, "prm_seed", 1)
+        self.v_max = getattr(t, "prm_max_velocity", 3.0)
+        self.margin = getattr(t, "prm_margin", 0.1)
+        self.n_goals = getattr(t, "prm_n_goals", 5)
+        # Per-node label cap: best-cost paths per distinct winding key
+        self._labels_per_node = max(8, 3 * self.n_paths)
+
+    # -- main entry ---------------------------------------------------------
+    def update(self, state, path, obstacle_block, s0: float, v_ref: float
+               ) -> List[GuidanceTrajectory]:
+        cfg = self.cfg
+        N, dt = cfg.N, cfg.dt
+        rng = np.random.default_rng(self.seed)
+
+        start = np.array([state.get("x"), state.get("y")], dtype=float)
+
+        # Obstacle space-time tracks [M, N+1, 2] (stage k uses prediction
+        # step k-1, like the constraint modules; row 0 = current position).
+        M = obstacle_block.position.shape[0]
+        pred = np.concatenate(
+            [obstacle_block.position[:, None, :], obstacle_block.pred_position],
+            axis=1,
+        )[:, : N + 1]
+        radius = np.asarray(obstacle_block.radius, dtype=float)
+        clear = radius + cfg.robot_radius + self.margin  # [M]
+
+        # Nominal progress ramp (same profile as the lateral backend).
+        v0 = _speed(state)
+        a_max = 1.5
+        v_prof = np.minimum(v_ref, v0 + a_max * dt * np.arange(N + 1))
+        s_prof = np.clip(
+            s0 + np.concatenate([[0.0], np.cumsum(v_prof[:-1] * dt)]),
+            0.0, path.length,
+        )
+
+        # Goal set: lateral fan around the nominal end point (the reference
+        # places longitudinal+lateral goal grids along the path,
+        # guidance_planner.yaml `goals`).
+        s_goal = float(s_prof[-1])
+        g_center = path.at(np.array([s_goal]))[0]
+        tangent = path.deriv(np.array([s_goal]))[0]
+        tangent = tangent / (np.linalg.norm(tangent) + 1e-12)
+        normal = np.array([-tangent[1], tangent[0]])
+        half_width = max(cfg.road.width / 2.0 - cfg.robot_radius, 0.5)
+        lat_offsets = (
+            np.linspace(-half_width, half_width, self.n_goals)
+            if self.n_goals > 1 else np.zeros(1)
+        )
+        goals = g_center[None, :] + lat_offsets[:, None] * normal[None, :]
+
+        # -- sample nodes in the space-time ROI ------------------------------
+        lo = np.minimum(start, goals.min(axis=0)) - half_width - 1.0
+        hi = np.maximum(start, goals.max(axis=0)) + half_width + 1.0
+        xy = rng.uniform(lo, hi, size=(self.n_samples, 2))
+        kk = rng.integers(1, N, size=self.n_samples)
+        # Reject samples colliding with an obstacle at their own time slice
+        d_obs = np.linalg.norm(xy[:, None, :] - pred[:, kk, :].transpose(1, 0, 2),
+                               axis=-1)  # [n, M]
+        keep = np.all(d_obs > clear[None, :], axis=1) if M else np.ones(
+            self.n_samples, bool)
+        xy, kk = xy[keep], kk[keep]
+
+        pos = np.concatenate([start[None], xy, goals], axis=0)  # [n, 2]
+        tk = np.concatenate([[0], kk, np.full(len(goals), N)]).astype(int)
+        n = len(pos)
+        goal_ids = np.arange(n - len(goals), n)
+
+        # -- visibility edges (vectorized over all pairs) ---------------------
+        ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        valid = tk[jj] > tk[ii]
+        span = np.maximum(tk[jj] - tk[ii], 1)
+        seg = np.linalg.norm(pos[jj] - pos[ii], axis=-1)
+        valid &= seg / (span * dt) <= self.v_max
+
+        # Interpolated robot position at every integer stage for every pair
+        ks = np.arange(N + 1)
+        frac = np.clip((ks[None, None, :] - tk[ii][..., None]) / span[..., None], 0.0, 1.0)
+        p_int = pos[ii][:, :, None, :] + frac[..., None] * (
+            pos[jj][:, :, None, :] - pos[ii][:, :, None, :]
+        )  # [n, n, N+1, 2]
+        in_seg = (ks[None, None, :] >= tk[ii][..., None]) & (
+            ks[None, None, :] <= tk[jj][..., None]
+        )
+        if M:
+            rel = p_int[:, :, None, :, :] - pred[None, None, :, :, :]  # [n,n,M,N+1,2]
+            d = np.linalg.norm(rel, axis=-1)  # [n, n, M, N+1]
+            hit = (d < clear[None, None, :, None]) & in_seg[:, :, None, :]
+            valid &= ~hit.any(axis=(2, 3))
+
+            # Winding increment per edge per obstacle: accumulated wrapped
+            # angle deltas of the robot-minus-obstacle vector over the
+            # edge's time slices (H-signature building block).
+            theta = np.arctan2(rel[..., 1], rel[..., 0])  # [n, n, M, N+1]
+            dtheta = np.diff(theta, axis=-1)
+            dtheta = np.mod(dtheta + np.pi, 2 * np.pi) - np.pi
+            step_in = in_seg[:, :, None, 1:] & in_seg[:, :, None, :-1]
+            edge_wind = np.sum(np.where(step_in, dtheta, 0.0), axis=-1)  # [n, n, M]
+        else:
+            edge_wind = np.zeros((n, n, 0))
+
+        np.fill_diagonal(valid, False)
+
+        # -- homology-aware DP over the time-ordered DAG ----------------------
+        order = np.argsort(tk, kind="stable")
+        # labels[node] = {wind_key: (cost, winding[M], parent, parent_key)}
+        labels: List[dict] = [dict() for _ in range(n)]
+        zero = np.zeros(M)
+        labels[0][()] = (0.0, zero, -1, None)
+
+        for i in order:
+            if not labels[i]:
+                continue
+            items = sorted(labels[i].items(), key=lambda kv: kv[1][0])
+            items = items[: self._labels_per_node]
+            labels[i] = dict(items)
+            succ = np.nonzero(valid[i])[0]
+            for key, (cost, wind, _, _) in items:
+                for j in succ:
+                    w_new = wind + edge_wind[i, j]
+                    # Quantize to half-turns: two paths whose winding around
+                    # any obstacle differs by >= pi are homotopy-distinct
+                    key_new = tuple(np.round(w_new / np.pi).astype(int))
+                    c_new = cost + seg[i, j]
+                    cur = labels[j].get(key_new)
+                    if cur is None or c_new < cur[0]:
+                        labels[j][key_new] = (c_new, w_new, i, key)
+
+        # -- extract distinct goal-reaching paths -----------------------------
+        candidates = []
+        for g in goal_ids:
+            for key, (cost, wind, parent, pkey) in labels[g].items():
+                candidates.append((cost, g, key, wind))
+        candidates.sort(key=lambda c: c[0])
+
+        trajectories: List[GuidanceTrajectory] = []
+        seen_signatures = set()
+        for cost, g, key, wind in candidates:
+            if len(trajectories) >= self.n_paths:
+                break
+            node_path = self._backtrack(labels, g, key)
+            positions = self._resample(node_path, pos, tk, N)
+            tracked, signature = self._signature(positions, pred, radius)
+            sig_key = (tracked, signature)
+            if sig_key in seen_signatures:
+                continue
+            seen_signatures.add(sig_key)
+            s_out = self._project(path, positions, s0)
+            traj = GuidanceTrajectory(
+                positions=positions,
+                s=s_out,
+                signature=signature,
+                obstacle_ids=tuple(obstacle_block.index[i] for i in tracked),
+            )
+            traj.previously_selected = self._matches_selected(traj)
+            trajectories.append(traj)
+
+        if not trajectories:
+            # Disconnected PRM (e.g. fully blocked corridor): fall back to
+            # the constructive lateral backend so T-MPC always has guesses.
+            return super().update(state, path, obstacle_block, s0, v_ref)
+
+        if getattr(cfg.t_mpc, "braking_class", False):
+            trajectories.append(self._braking_trajectory(state, path, s0))
+        return trajectories
+
+    # -- helpers --------------------------------------------------------------
+    @staticmethod
+    def _backtrack(labels, g: int, key) -> List[int]:
+        node_path = [g]
+        cur, ckey = g, key
+        while True:
+            _, _, parent, pkey = labels[cur][ckey]
+            if parent < 0:
+                break
+            node_path.append(parent)
+            cur, ckey = parent, pkey
+        return node_path[::-1]
+
+    @staticmethod
+    def _resample(node_path: List[int], pos, tk, N: int) -> np.ndarray:
+        """Node chain -> positions at every integer stage 0..N, smoothed."""
+        ts = tk[node_path].astype(float)
+        xs = pos[node_path]
+        out = np.empty((N + 1, 2))
+        out[:, 0] = np.interp(np.arange(N + 1), ts, xs[:, 0])
+        out[:, 1] = np.interp(np.arange(N + 1), ts, xs[:, 1])
+        # Light smoothing (the reference fits cubic splines through the
+        # PRM nodes); keep the endpoints pinned.
+        kernel = np.array([0.25, 0.5, 0.25])
+        for _ in range(2):
+            sm = np.stack(
+                [np.convolve(np.pad(out[:, d], 1, mode="edge"), kernel, "valid")
+                 for d in range(2)], axis=-1)
+            sm[0], sm[-1] = out[0], out[-1]
+            out = sm
+        return out
+
+    def _signature(self, positions, pred, radius
+                   ) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        """Passing-side signature at closest approach, comparable with the
+        lateral backend's (+1 left / -1 right in the robot's frame)."""
+        M = pred.shape[0]
+        if M == 0:
+            return (), ()
+        d = positions[1:] - positions[:-1]  # [N, 2]
+        heading = np.concatenate([d, d[-1:]], axis=0)
+        norms = np.linalg.norm(heading, axis=-1, keepdims=True)
+        heading = heading / np.maximum(norms, 1e-9)
+        rel = pred - positions[None, :, :]  # [M, N+1, 2]
+        dist = np.linalg.norm(rel, axis=-1)  # [M, N+1]
+        k_close = np.argmin(dist, axis=1)  # [M]
+        tracked, signature = [], []
+        for m in range(M):
+            if dist[m, k_close[m]] > radius[m] + self.clearance + 1.5:
+                continue  # never interacts
+            h = heading[k_close[m]]
+            r = rel[m, k_close[m]]
+            cross = h[0] * r[1] - h[1] * r[0]
+            # Obstacle on the robot's right (cross < 0) => robot passes left
+            signature.append(+1 if cross < 0 else -1)
+            tracked.append(m)
+        return tuple(tracked), tuple(signature)
+
+    @staticmethod
+    def _project(path, positions, s0: float) -> np.ndarray:
+        """Monotone progress estimates by projecting onto the path."""
+        s_out = np.empty(len(positions))
+        s_prev = s0
+        for k, p in enumerate(positions):
+            s_prev = path.closest_point(p, s_hint=s_prev, window=4.0)
+            s_out[k] = s_prev
+        return s_out

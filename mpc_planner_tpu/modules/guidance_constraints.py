@@ -51,6 +51,7 @@ class GuidanceConstraintModule(ConstraintModule):
         self._selected_planner = -1
         self._trajectories = []
         self._planner = None
+        self._prev_duals = None  # (lam_l, lam_u, ok) carried across cycles
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         # Own halfspaces (ref guidance_constraints.py:70-80): note the
@@ -92,9 +93,9 @@ class GuidanceConstraintModule(ConstraintModule):
         if module_data.path is None or data.obstacle_block is None:
             return
         if self.guidance is None:
-            from mpc_planner_tpu.guidance import GuidancePlanner
+            from mpc_planner_tpu.guidance import make_guidance_planner
 
-            self.guidance = GuidancePlanner(self.cfg)
+            self.guidance = make_guidance_planner(self.cfg)
         v_ref = self.cfg.weights.get("reference_velocity", 1.0)
         self._trajectories = self.guidance.update(
             state, module_data.path, data.obstacle_block, state.get("spline"), v_ref
@@ -151,9 +152,24 @@ class GuidanceConstraintModule(ConstraintModule):
             Z0[B - 1] = Z_main
 
         xinit = _np.tile(module_data.xinit[None], (B, 1))
+        # Cross-cycle dual warm start: feed last cycle's converged QP duals
+        # into this cycle's first QP (extends HPIPM warm_start=2 across
+        # control cycles; per-element ok flag gates shifted/braking
+        # restarts). Planner i keeps its homotopy class between cycles
+        # (stable guidance ordering), so duals stay aligned per element.
+        warm = self._prev_duals
+        if warm is not None and warm[0].shape[0] != B:
+            warm = None
         res = planner.solver.solve_batch(
-            Z0, P, xinit, num_iterations=module_data.num_iterations
+            Z0, P, xinit, num_iterations=module_data.num_iterations,
+            warm_duals=warm,
         )
+        if res.lam_l is not None:
+            self._prev_duals = (
+                _np.asarray(res.lam_l),
+                _np.asarray(res.lam_u),
+                _np.asarray(res.exit_code) == 1,
+            )
 
         exit_codes = _np.asarray(res.exit_code)
         pobj = _np.asarray(res.pobj, dtype=float).copy()
@@ -287,6 +303,7 @@ class GuidanceConstraintModule(ConstraintModule):
 
     def reset(self) -> None:
         self._trajectories = []
+        self._prev_duals = None
         if self.guidance is not None:
             self.guidance.reset()
         self.submodule.reset()

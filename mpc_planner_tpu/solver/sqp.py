@@ -57,6 +57,10 @@ class SolveResult(NamedTuple):
     res_eq: jnp.ndarray  # max dynamics defect
     qp_mu: jnp.ndarray  # final interior-point complementarity
     iters: jnp.ndarray = None  # SQP iterations actually applied per element
+    lam_l: jnp.ndarray = None  # [.., N+1, nrows] final QP duals — feed back
+    lam_u: jnp.ndarray = None  # as `warm_duals` next cycle (HPIPM warm_start=2
+    #                            carried ACROSS control cycles, not just RTI
+    #                            iterations; cuts first-QP IP iterations)
 
 
 def _mirror(H, lm: float):
@@ -234,33 +238,38 @@ class SQPSolver:
                       mask_l=mask_l, mask_u=mask_u)
 
     # -- SQP-RTI loop -----------------------------------------------------
-    def _solve(self, Z0, P, xinit, num_iterations: int):
+    def _solve(self, Z0, P, xinit, num_iterations: int, warm0=None):
         # TPU matmuls default to bf16 passes; the Riccati recursion loses
         # positive-definiteness at bf16 and Cholesky NaNs. Force true-f32
         # matmuls for everything traced inside the solver (tiny matrices —
         # the cost is negligible, the solve is latency-bound).
         with jax.default_matmul_precision("highest"):
-            return self._solve_inner(Z0, P, xinit, num_iterations)
+            return self._solve_inner(Z0, P, xinit, num_iterations, warm0)
 
-    def _solve_inner(self, Z0, P, xinit, num_iterations: int):
+    def _solve_inner(self, Z0, P, xinit, num_iterations: int, warm0=None):
         ocp = self.ocp
         nu, nx = ocp.nu, ocp.nx
 
         # Pin x_0 = xinit (ref setXinit + lbx0/ubx0)
         Z0 = Z0.at[0, nu:].set(xinit)
 
-        # First QP: cold IP start, full iteration count. Subsequent RTI
-        # iterations warm-start the duals from the previous QP (HPIPM
+        # First QP: cold IP start at full iteration count — unless the
+        # caller carries duals from the PREVIOUS CONTROL CYCLE (warm0),
+        # which warm-starts it like any later RTI iteration. Subsequent
+        # RTI iterations warm-start from the previous QP (HPIPM
         # warm_start=2) and need far fewer IP iterations.
         sqp_mode = self.solver_type == "SQP"
 
+        it0 = self.qp_iterations if warm0 is None else max(
+            6, self.qp_iterations * 2 // 3)
         qp0 = self._linearize(Z0, P)
-        sol0 = solve_qp(qp0, nu, nx, iterations=self.qp_iterations,
-                        mu0=self.mu0, mu_min=self.mu_min)
+        sol0 = solve_qp(qp0, nu, nx, iterations=it0,
+                        mu0=self.mu0, mu_min=self.mu_min, warm_duals=warm0)
         Z1 = Z0 + sol0.dz  # FIXED_STEP globalization
         done1 = jnp.max(jnp.abs(sol0.dz)) < self.tol_stat
         if num_iterations == 1:
             Z, mus, done, iters = Z1, sol0.mu[None], done1, jnp.int32(1)
+            lam_l_fin, lam_u_fin = sol0.lam_l, sol0.lam_u
         else:
             warm_iters = max(6, self.qp_iterations * 2 // 3)
 
@@ -283,7 +292,7 @@ class SQPSolver:
                     iters = iters + 1
                 return (Z_new, sol.lam_l, sol.lam_u, sol.mu, done, iters), sol.mu
 
-            (Z, _, _, _, done, iters), mus = jax.lax.scan(
+            (Z, lam_l_fin, lam_u_fin, _, done, iters), mus = jax.lax.scan(
                 rti_iter, (Z1, sol0.lam_l, sol0.lam_u, sol0.mu, done1,
                            jnp.int32(1)), None,
                 length=num_iterations - 1,
@@ -305,13 +314,14 @@ class SQPSolver:
             exit_code = jnp.where(success, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
         return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
                            res_eq=res_eq, qp_mu=jnp.atleast_1d(mus)[-1],
-                           iters=iters)
+                           iters=iters, lam_l=lam_l_fin, lam_u=lam_u_fin)
 
     # -- fused batched solve (Pallas QP backend) --------------------------
-    def _solve_batch_pallas(self, Z0, P, xinit, num_iterations: int):
+    def _solve_batch_pallas(self, Z0, P, xinit, num_iterations: int, warm0=None):
         """Batch-level SQP-RTI: XLA linearization (vmapped) + one fused
         Pallas kernel per QP. Z0 [B, N+1, nvar], P [B, N+1, npar],
-        xinit [B, nx]."""
+        xinit [B, nx]. `warm0` = (lam_l, lam_u, ok[B]) duals carried from
+        the previous control cycle."""
         from mpc_planner_tpu.ops.pallas_qp import solve_qp_pallas
 
         ocp = self.ocp
@@ -338,15 +348,18 @@ class SQPSolver:
             sqp_mode = self.solver_type == "SQP"
             Bb = Z0.shape[0]
 
+            it0 = self.qp_iterations if warm0 is None else max(
+                6, self.qp_iterations * 2 // 3)
             qp0 = lin(Z0, P)
             sol0 = solve_qp_pallas(
-                qp0, nu, nx, iterations=self.qp_iterations, mu0=self.mu0
+                qp0, nu, nx, iterations=it0, mu0=self.mu0, warm_duals=warm0
             )
             Z1 = Z0 + sol0.dz
             done1 = jnp.max(jnp.abs(sol0.dz), axis=(1, 2)) < self.tol_stat  # [B]
             if num_iterations == 1:
                 Z, mu_last, done = Z1, sol0.mu, done1
                 iters = jnp.ones((Bb,), jnp.int32)
+                ll_fin, lu_fin = sol0.lam_l, sol0.lam_u
             else:
                 warm_iters = max(6, self.qp_iterations * 2 // 3)
 
@@ -368,7 +381,7 @@ class SQPSolver:
                         iters = iters + 1
                     return (Z_new, sol.lam_l, sol.lam_u, sol.mu, done, iters), None
 
-                (Z, _, _, mu_last, done, iters), _ = jax.lax.scan(
+                (Z, ll_fin, lu_fin, mu_last, done, iters), _ = jax.lax.scan(
                     rti_iter,
                     (Z1, sol0.lam_l, sol0.lam_u, sol0.mu, done1,
                      jnp.ones((Bb,), jnp.int32)),
@@ -390,25 +403,44 @@ class SQPSolver:
             else:
                 exit_code = jnp.where(ok, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
             return SolveResult(Z=Z, exit_code=exit_code, pobj=pobj,
-                               res_eq=res_eq, qp_mu=mu_last, iters=iters)
+                               res_eq=res_eq, qp_mu=mu_last, iters=iters,
+                               lam_l=ll_fin, lam_u=lu_fin)
 
     # -- public API --------------------------------------------------------
-    def _get_compiled(self, n: int, batched: bool):
-        key = (n, batched)
+    def _get_compiled(self, n: int, batched: bool, warm: bool = False):
+        key = (n, batched, warm)
         fn = self._compiled.get(key)
         if fn is None:
             if batched and self.qp_backend == "pallas":
-                fn = jax.jit(
-                    lambda Z0, P, xinit: self._solve_batch_pallas(Z0, P, xinit, n)
-                )
+                if warm:
+                    fn = jax.jit(lambda Z0, P, xinit, wl, wu, ok:
+                                 self._solve_batch_pallas(Z0, P, xinit, n,
+                                                          warm0=(wl, wu, ok)))
+                else:
+                    fn = jax.jit(
+                        lambda Z0, P, xinit: self._solve_batch_pallas(Z0, P, xinit, n)
+                    )
             else:
-                base = lambda Z0, P, xinit: self._solve(Z0, P, xinit, n)
+                if warm:
+                    base = lambda Z0, P, xinit, wl, wu, ok: self._solve(
+                        Z0, P, xinit, n, warm0=(wl, wu, ok))
+                else:
+                    base = lambda Z0, P, xinit: self._solve(Z0, P, xinit, n)
                 fn = jax.jit(jax.vmap(base) if batched else base)
             self._compiled[key] = fn
         return fn
 
-    def solve(self, Z0, P, xinit, num_iterations: Optional[int] = None) -> SolveResult:
+    @staticmethod
+    def _as_warm(warm_duals):
+        wl, wu, ok = warm_duals
+        return (jnp.asarray(wl, jnp.float32), jnp.asarray(wu, jnp.float32),
+                jnp.asarray(ok, bool))
+
+    def solve(self, Z0, P, xinit, num_iterations: Optional[int] = None,
+              warm_duals=None) -> SolveResult:
         """Single solve. Z0 [N+1, nvar] warmstart, P [N+1, npar], xinit [nx].
+        `warm_duals` = (lam_l [N+1, nrows], lam_u, ok scalar) from the
+        previous control cycle's SolveResult.
 
         On the Pallas backend this runs as a batch of one (the kernel's
         lane block is fixed; a single solve costs the same as 128)."""
@@ -419,22 +451,28 @@ class SQPSolver:
                 jnp.asarray(P, jnp.float32)[None],
                 jnp.asarray(xinit, jnp.float32)[None],
                 num_iterations=n,
+                warm_duals=None if warm_duals is None else tuple(
+                    jnp.asarray(w)[None] for w in warm_duals),
             )
             return SolveResult(Z=res.Z[0], exit_code=res.exit_code[0],
                                pobj=res.pobj[0], res_eq=res.res_eq[0],
                                qp_mu=res.qp_mu[0],
-                               iters=None if res.iters is None else res.iters[0])
-        return self._get_compiled(n, False)(
-            jnp.asarray(Z0, jnp.float32),
-            jnp.asarray(P, jnp.float32),
-            jnp.asarray(xinit, jnp.float32),
-        )
+                               iters=None if res.iters is None else res.iters[0],
+                               lam_l=res.lam_l[0], lam_u=res.lam_u[0])
+        args = (jnp.asarray(Z0, jnp.float32), jnp.asarray(P, jnp.float32),
+                jnp.asarray(xinit, jnp.float32))
+        if warm_duals is not None:
+            return self._get_compiled(n, False, True)(*args, *self._as_warm(warm_duals))
+        return self._get_compiled(n, False)(*args)
 
-    def solve_batch(self, Z0, P, xinit, num_iterations: Optional[int] = None) -> SolveResult:
-        """Batched solve over a leading axis (T-MPC planners / scenarios)."""
+    def solve_batch(self, Z0, P, xinit, num_iterations: Optional[int] = None,
+                    warm_duals=None) -> SolveResult:
+        """Batched solve over a leading axis (T-MPC planners / scenarios).
+        `warm_duals` = (lam_l [B, N+1, nrows], lam_u, ok [B]) carried from
+        the previous cycle."""
         n = self.iterations if num_iterations is None else max(int(num_iterations), 1)
-        return self._get_compiled(n, True)(
-            jnp.asarray(Z0, jnp.float32),
-            jnp.asarray(P, jnp.float32),
-            jnp.asarray(xinit, jnp.float32),
-        )
+        args = (jnp.asarray(Z0, jnp.float32), jnp.asarray(P, jnp.float32),
+                jnp.asarray(xinit, jnp.float32))
+        if warm_duals is not None:
+            return self._get_compiled(n, True, True)(*args, *self._as_warm(warm_duals))
+        return self._get_compiled(n, True)(*args)

@@ -57,6 +57,17 @@ class TMPCConfig:
     # Enable for deployments where pedestrians yield to a stopped robot.
     braking_class: bool = False
     braking_deceleration: float = 2.0  # [m/s^2] comfortable decel profile
+    # Guidance backend: "lateral" constructs homotopy classes in the path
+    # frame (fast, deterministic — the default); "prm" searches a seeded
+    # Visibility-PRM over (x, y, t) with winding-number homology filtering,
+    # matching the reference's guidance_planner behavior
+    # (guidance_planner.yaml: 30 samples, n_paths=4, seeded).
+    guidance_backend: str = "lateral"
+    prm_n_samples: int = 30  # ref guidance_planner.yaml n_samples
+    prm_seed: int = 1  # ref guidance_planner.yaml seed
+    prm_max_velocity: float = 3.0  # edge velocity budget [m/s]
+    prm_margin: float = 0.1  # extra clearance in collision checks [m]
+    prm_n_goals: int = 5  # lateral goal fan around the path end point
 
 
 @dataclass(frozen=True)

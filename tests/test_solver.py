@@ -219,3 +219,48 @@ def test_sqp_mode_max_iter_exit_code(cfg):
     xinit = np.array([state.get(n) for n in model.states])
     res = solver.solve(Z0, pblock.data, xinit)
     assert int(res.exit_code) == 0
+
+
+def test_cross_cycle_dual_warmstart(cfg):
+    """Duals returned by one solve warm-start the next cycle's first QP
+    (HPIPM warm_start=2 carried across control cycles): same solution,
+    success preserved, fewer IP iterations needed."""
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    xinit = np.array([state.get(n) for n in model.states])
+
+    res1 = solver.solve(Z0, pblock.data, xinit)
+    assert int(res1.exit_code) == 1
+    assert res1.lam_l is not None and res1.lam_u is not None
+    assert np.all(np.asarray(res1.lam_l) >= 0)
+
+    # "Next cycle": shifted warmstart, same problem, carried duals
+    warm = (np.asarray(res1.lam_l), np.asarray(res1.lam_u), True)
+    res2 = solver.solve(np.asarray(res1.Z), pblock.data, xinit, warm_duals=warm)
+    res2_cold = solver.solve(np.asarray(res1.Z), pblock.data, xinit)
+    assert int(res2.exit_code) == 1
+    np.testing.assert_allclose(np.asarray(res2.Z), np.asarray(res2_cold.Z),
+                               atol=5e-3)
+
+
+def test_cross_cycle_dual_warmstart_batched(cfg):
+    """Batched variant with a per-element ok mask."""
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    xinit = np.array([state.get(n) for n in model.states])
+    B = 3
+    Z0b = np.tile(Z0[None], (B, 1, 1))
+    Pb = np.tile(pblock.data[None], (B, 1, 1))
+    xb = np.tile(xinit[None], (B, 1))
+
+    res1 = solver.solve_batch(Z0b, Pb, xb)
+    assert np.all(np.asarray(res1.exit_code) == 1)
+    ok = np.array([True, False, True])  # element 1 falls back to cold start
+    warm = (np.asarray(res1.lam_l), np.asarray(res1.lam_u), ok)
+    res2 = solver.solve_batch(np.asarray(res1.Z), Pb, xb, warm_duals=warm)
+    res2_cold = solver.solve_batch(np.asarray(res1.Z), Pb, xb)
+    assert np.all(np.asarray(res2.exit_code) == 1)
+    np.testing.assert_allclose(np.asarray(res2.Z), np.asarray(res2_cold.Z),
+                               atol=5e-3)
