@@ -107,6 +107,7 @@ class ScenarioConstraintModule(ConstraintModule):
         self._sample_seed = 0
         self._sampler = None
         self._sampler_mm = False
+        self._prev_duals = None  # (lam_l, lam_u, ok) carried across cycles
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         for d in range(self.n_discs):
@@ -233,9 +234,22 @@ class ScenarioConstraintModule(ConstraintModule):
             P[s_id][N] = P[s_id][N - 1]
 
         xinit = _np.tile(module_data.xinit[None], (B, 1))
+        # Cross-cycle dual warm start (HPIPM warm_start=2 across cycles):
+        # scenario solver s keeps its sampling stream between cycles, so
+        # its duals stay aligned per element.
+        warm = self._prev_duals
+        if warm is not None and warm[0].shape[0] != B:
+            warm = None
         res = planner.solver.solve_batch(
-            Z0, P, xinit, num_iterations=module_data.num_iterations
+            Z0, P, xinit, num_iterations=module_data.num_iterations,
+            warm_duals=warm,
         )
+        if res.lam_l is not None:
+            self._prev_duals = (
+                _np.asarray(res.lam_l),
+                _np.asarray(res.lam_u),
+                _np.asarray(res.exit_code) == 1,
+            )
 
         exit_codes = _np.asarray(res.exit_code)
         pobj = _np.asarray(res.pobj, dtype=float)
@@ -261,6 +275,10 @@ class ScenarioConstraintModule(ConstraintModule):
         pblock.set_bundle_all_stages("scenario_a1", np.ones((n_stages, nC)))
         pblock.set_bundle_all_stages("scenario_a2", np.zeros((n_stages, nC)))
         pblock.set_bundle_all_stages("scenario_b", np.full((n_stages, nC), 1e6))
+
+    def reset(self) -> None:
+        self._prev_duals = None
+        self._sample_seed = 0
 
     def is_data_ready(self, data):
         if getattr(data, "obstacle_block", None) is None:

@@ -144,6 +144,67 @@ class SQPSolver:
         # planner.cpp:117-118).
         self._compiled = {}
 
+        # MIRROR structure: when the running cost's u-block is diagonal and
+        # decoupled from x (true for every stock module set — inputs only
+        # appear as w*u^2 penalties), MIRROR factorizes block-wise:
+        # mirror(blkdiag(D, Hxx)) = blkdiag(max(|D|, lm), mirror(Hxx)).
+        # Eigendecomposing nx=5 instead of nvar=7 matrices roughly halves
+        # the Jacobi cost per linearization. Detected by probing the exact
+        # traced Hessian at random points; "full" forces the dense path.
+        structure = getattr(cfg.solver, "mirror_structure", "auto")
+        if structure == "auto":
+            self._mirror_x_only = self._probe_u_separable()
+        elif structure == "x_only":
+            self._mirror_x_only = True
+        else:
+            self._mirror_x_only = False
+
+    def _probe_u_separable(self, n_probes: int = 4) -> bool:
+        """True iff the running-cost Hessian's u-block is diagonal and its
+        u-x cross block is zero at random probe points. Module costs are
+        polynomial/rational in (z, p); the cross terms are exact zeros in
+        the traced Hessian whenever no cost term couples an input with a
+        state, so random probing is decisive for the stock module sets."""
+        ocp = self.ocp
+        nu, nvar = ocp.nu, ocp.nvar
+        rng = np.random.default_rng(0)
+        # Probe on host CPU: a tiny one-off trace, not worth a TPU compile.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            hess = jax.jit(jax.hessian(ocp.running_cost))
+            probes = [
+                np.asarray(hess(
+                    jnp.asarray(rng.normal(0.0, 1.0, nvar), jnp.float32),
+                    jnp.asarray(rng.normal(0.0, 1.0, ocp.npar), jnp.float32),
+                ))
+                for _ in range(n_probes)
+            ]
+        for H in probes:
+            if not np.all(np.isfinite(H)):
+                return False
+            if np.max(np.abs(H[:nu, nu:])) > 1e-12:
+                return False
+            off = H[:nu, :nu] - np.diag(np.diag(H[:nu, :nu]))
+            if np.max(np.abs(off)) > 1e-12:
+                return False
+        return True
+
+    def _mirror_nvar(self, H):
+        """MIRROR a [..., nvar, nvar] stage-Hessian stack, exploiting the
+        u-separable block structure when detected."""
+        if not self._mirror_x_only:
+            return _mirror(H, self.lm)
+        nu, nx = self.ocp.nu, self.ocp.nx
+        d = jnp.diagonal(H[..., :nu, :nu], axis1=-2, axis2=-1)
+        d = jnp.maximum(jnp.abs(d), self.lm)
+        Huu = d[..., None, :] * jnp.eye(nu, dtype=H.dtype)
+        Hxx = _mirror(H[..., nu:, nu:], self.lm)
+        zeros_ux = jnp.zeros(H.shape[:-2] + (nu, nx), H.dtype)
+        zeros_xu = jnp.zeros(H.shape[:-2] + (nx, nu), H.dtype)
+        top = jnp.concatenate([Huu, zeros_ux], axis=-1)
+        bot = jnp.concatenate([zeros_xu, Hxx], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
     # -- linearization ----------------------------------------------------
     def _linearize(self, Z, P, mirror: bool = True):
         """`mirror=False` defers the MIRROR regularization to the caller:
@@ -167,7 +228,7 @@ class SQPSolver:
         g_run = jax.vmap(jax.grad(ocp.running_cost))(Zr, Pr)
         H_run = jax.vmap(jax.hessian(ocp.running_cost))(Zr, Pr)
         if mirror:
-            H_run = _mirror(H_run, self.lm)
+            H_run = self._mirror_nvar(H_run)
 
         zN = Z[N].at[:nu].set(0.0)
         g_term_full = jax.grad(ocp.terminal_cost)(zN, P[N])
@@ -330,19 +391,19 @@ class SQPSolver:
         with jax.default_matmul_precision("highest"):
             Z0 = Z0.at[:, 0, nu:].set(xinit)
 
-            from mpc_planner_tpu.ops.jacobi_eigh import mirror_unpacked
-
             def lin(Z, P_):
                 # Linearize without mirror, then mirror the whole [B*(N+1)]
                 # stack of stage Hessians with the element-unpacked Jacobi
                 # (~10x the .at[].set() Jacobi at B=1024; a fully fused
                 # Pallas mirror was faster still but miscompiled — see
-                # mirror_unpacked docstring). The terminal row's zero
-                # u-block mirrors to lm*I on the u-diagonal, which the
-                # QP's terminal stage never reads.
+                # mirror_unpacked docstring). _mirror_nvar exploits the
+                # u-separable block structure when detected (5x5 Jacobi
+                # instead of 7x7). The terminal row's zero u-block mirrors
+                # to lm*I on the u-diagonal, which the QP's terminal stage
+                # never reads.
                 qp = jax.vmap(lambda z, p: self._linearize(z, p, mirror=False))(Z, P_)
                 Bb, Np1, nv, _ = qp.H.shape
-                H_m = mirror_unpacked(qp.H.reshape(Bb * Np1, nv, nv), self.lm)
+                H_m = self._mirror_nvar(qp.H.reshape(Bb * Np1, nv, nv))
                 return qp._replace(H=H_m.reshape(Bb, Np1, nv, nv))
 
             sqp_mode = self.solver_type == "SQP"

@@ -114,6 +114,10 @@ class SolverConfig:
     tol_stationarity: float = 1e-3  # ref settings.yaml tolstat
     tol_eq_residual: float = 1e-2  # res_eq failure check (ref acados_solver_interface.cpp:176-181)
     hessian_approx: str = "EXACT_MIRROR"  # or "GAUSS_NEWTON"
+    # MIRROR block structure: "auto" probes whether the cost's u-block is
+    # diagonal and u-x decoupled (true for all stock modules) and then
+    # eigendecomposes only the x-block; "full" forces dense nvar x nvar.
+    mirror_structure: str = "auto"  # "auto" | "x_only" | "full"
     levenberg_marquardt: float = 1e-6
     qp_mu0: float = 1e1
     qp_mu_min: float = 1e-10
