@@ -115,8 +115,59 @@ class VisibilityPRMPlanner(GuidancePlanner):
 
         pos = np.concatenate([start[None], xy, goals], axis=0)  # [n, 2]
         tk = np.concatenate([[0], kk, np.full(len(goals), N)]).astype(int)
+
+        # -- search: native C++ core when available, vectorized numpy else ---
+        candidates = self._search(pos, tk, len(goals), pred, clear, dt)
+
+        trajectories: List[GuidanceTrajectory] = []
+        seen_signatures = set()
+        for cost, node_path in candidates:
+            if len(trajectories) >= self.n_paths:
+                break
+            positions = self._resample(node_path, pos, tk, N)
+            tracked, signature = self._signature(positions, pred, radius)
+            sig_key = (tracked, signature)
+            if sig_key in seen_signatures:
+                continue
+            seen_signatures.add(sig_key)
+            s_out = self._project(path, positions, s0)
+            traj = GuidanceTrajectory(
+                positions=positions,
+                s=s_out,
+                signature=signature,
+                obstacle_ids=tuple(obstacle_block.index[i] for i in tracked),
+            )
+            traj.previously_selected = self._matches_selected(traj)
+            trajectories.append(traj)
+
+        if not trajectories:
+            # Disconnected PRM (e.g. fully blocked corridor): fall back to
+            # the constructive lateral backend so T-MPC always has guesses.
+            return super().update(state, path, obstacle_block, s0, v_ref)
+
+        if getattr(cfg.t_mpc, "braking_class", False):
+            trajectories.append(self._braking_trajectory(state, path, s0))
+        return trajectories
+
+    def _search(self, pos, tk, n_goals: int, pred, clear, dt: float):
+        """Up to 3*n_paths cost-ordered, homology-distinct node chains from
+        node 0 to any goal (the last n_goals nodes)."""
+        max_out = 3 * self.n_paths
+        from mpc_planner_tpu import native
+
+        result = native.prm_search(pos, tk, n_goals, pred, clear, dt,
+                                   self.v_max, self._labels_per_node, max_out)
+        if result is not None:
+            return result
+        return self._search_numpy(pos, tk, n_goals, pred, clear, dt, max_out)
+
+    def _search_numpy(self, pos, tk, n_goals: int, pred, clear, dt: float,
+                      max_out: int):
+        """Pure-numpy fallback of the native prm_search (same contract)."""
         n = len(pos)
-        goal_ids = np.arange(n - len(goals), n)
+        N = pred.shape[1] - 1
+        M = pred.shape[0]
+        goal_ids = np.arange(n - n_goals, n)
 
         # -- visibility edges (vectorized over all pairs) ---------------------
         ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
@@ -178,43 +229,23 @@ class VisibilityPRMPlanner(GuidancePlanner):
                     if cur is None or c_new < cur[0]:
                         labels[j][key_new] = (c_new, w_new, i, key)
 
-        # -- extract distinct goal-reaching paths -----------------------------
-        candidates = []
+        # -- extract cost-ordered, homology-distinct goal chains --------------
+        raw = []
         for g in goal_ids:
             for key, (cost, wind, parent, pkey) in labels[g].items():
-                candidates.append((cost, g, key, wind))
-        candidates.sort(key=lambda c: c[0])
+                raw.append((cost, g, key))
+        raw.sort(key=lambda c: c[0])
 
-        trajectories: List[GuidanceTrajectory] = []
-        seen_signatures = set()
-        for cost, g, key, wind in candidates:
-            if len(trajectories) >= self.n_paths:
+        out = []
+        seen_keys = set()
+        for cost, g, key in raw:
+            if len(out) >= max_out:
                 break
-            node_path = self._backtrack(labels, g, key)
-            positions = self._resample(node_path, pos, tk, N)
-            tracked, signature = self._signature(positions, pred, radius)
-            sig_key = (tracked, signature)
-            if sig_key in seen_signatures:
+            if key in seen_keys:
                 continue
-            seen_signatures.add(sig_key)
-            s_out = self._project(path, positions, s0)
-            traj = GuidanceTrajectory(
-                positions=positions,
-                s=s_out,
-                signature=signature,
-                obstacle_ids=tuple(obstacle_block.index[i] for i in tracked),
-            )
-            traj.previously_selected = self._matches_selected(traj)
-            trajectories.append(traj)
-
-        if not trajectories:
-            # Disconnected PRM (e.g. fully blocked corridor): fall back to
-            # the constructive lateral backend so T-MPC always has guesses.
-            return super().update(state, path, obstacle_block, s0, v_ref)
-
-        if getattr(cfg.t_mpc, "braking_class", False):
-            trajectories.append(self._braking_trajectory(state, path, s0))
-        return trajectories
+            seen_keys.add(key)
+            out.append((cost, self._backtrack(labels, g, key)))
+        return out
 
     # -- helpers --------------------------------------------------------------
     @staticmethod

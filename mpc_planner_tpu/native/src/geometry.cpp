@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <map>
 #include <vector>
 
 extern "C" {
@@ -227,6 +228,187 @@ void free_polytope(double seed_x, double seed_y, const double* points,
       }
     }
   }
+}
+
+// Space-time Visibility-PRM search core (the reference's guidance_planner
+// hot loop, SURVEY.md §2.4): visibility edges in (x, y, k) between sampled
+// nodes, winding-number homology bookkeeping per obstacle, and a label-
+// correcting DP over the time-ordered DAG that keeps the best-cost path
+// per distinct homology key at every node. Returns up to `max_out`
+// cost-ordered, key-distinct goal-reaching node chains; the Python layer
+// (guidance/prm.py) resamples/smooths them onto the horizon.
+//
+// nodes: pos [n, 2], tk [n] (node 0 = start; the LAST n_goals nodes are
+// goals). Obstacles: pred [M, Np1, 2] space-time tracks, clear [M] radii
+// (obstacle + robot + margin). Edge feasibility: required speed <= v_max
+// and clearance at every integer time slice along the segment.
+int prm_search(const double* pos, const int64_t* tk, int64_t n,
+               int64_t n_goals, const double* pred, const double* clear_r,
+               int64_t M, int64_t Np1, double dt, double v_max,
+               int64_t labels_per_node, int64_t max_out, int64_t* out_count,
+               double* out_cost, int64_t* out_len, int64_t* out_nodes) {
+  *out_count = 0;
+  if (n <= 0 || n_goals <= 0 || max_out <= 0) return 1;
+  const double PI = 3.14159265358979323846;
+
+  // --- edges -------------------------------------------------------------
+  struct Edge {
+    int32_t to;
+    double cost;
+    int32_t wind_ofs;  // index into wind pool (M doubles), -1 if M == 0
+  };
+  std::vector<std::vector<Edge>> adj(n);
+  std::vector<double> wind_pool;
+  wind_pool.reserve((size_t)n * 8 * std::max<int64_t>(M, 1));
+
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t j = 0; j < n; ++j) {
+      if (tk[j] <= tk[i]) continue;
+      double span = (double)(tk[j] - tk[i]);
+      double dx = pos[2 * j] - pos[2 * i], dy = pos[2 * j + 1] - pos[2 * i + 1];
+      double seg = std::sqrt(dx * dx + dy * dy);
+      if (seg / (span * dt) > v_max) continue;
+
+      // Collision + winding along integer time slices
+      bool hit = false;
+      int32_t wofs = -1;
+      if (M > 0) {
+        wofs = (int32_t)wind_pool.size();
+        wind_pool.resize(wind_pool.size() + M, 0.0);
+        double prev_th[64];  // M <= 64 obstacles supported natively
+        if (M > 64) return 2;
+        for (int64_t k = tk[i]; k <= tk[j] && k < Np1; ++k) {
+          double f = (double)(k - tk[i]) / span;
+          double x = pos[2 * i] + f * dx, y = pos[2 * i + 1] + f * dy;
+          for (int64_t m = 0; m < M; ++m) {
+            double ox = pred[(m * Np1 + k) * 2], oy = pred[(m * Np1 + k) * 2 + 1];
+            double rx = x - ox, ry = y - oy;
+            double d2 = rx * rx + ry * ry;
+            if (d2 < clear_r[m] * clear_r[m]) {
+              hit = true;
+              break;
+            }
+            double th = std::atan2(ry, rx);
+            if (k > tk[i]) {
+              double dth = th - prev_th[m];
+              while (dth > PI) dth -= 2.0 * PI;
+              while (dth < -PI) dth += 2.0 * PI;
+              wind_pool[wofs + m] += dth;
+            }
+            prev_th[m] = th;
+          }
+          if (hit) break;
+        }
+        if (hit) {
+          wind_pool.resize(wofs);  // discard the edge's winding slot
+          continue;
+        }
+      }
+      adj[i].push_back(Edge{(int32_t)j, seg, wofs});
+    }
+  }
+
+  // --- label-correcting DP over the time-ordered DAG ----------------------
+  struct Label {
+    double cost;
+    int32_t node;
+    int32_t parent;  // global label index, -1 at start
+    int32_t wind_ofs;  // cumulative winding (M doubles), -1 if M == 0
+  };
+  std::vector<Label> labels;
+  std::vector<double> cum_pool;
+  // per node: homology key -> label index
+  std::vector<std::map<std::vector<int8_t>, int32_t>> node_labels(n);
+
+  labels.push_back(Label{0.0, 0, -1, M > 0 ? 0 : -1});
+  if (M > 0) cum_pool.resize(M, 0.0);
+  node_labels[0][std::vector<int8_t>(M, 0)] = 0;
+
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return tk[a] < tk[b]; });
+
+  std::vector<int8_t> key(M);
+  for (int64_t oi = 0; oi < n; ++oi) {
+    int64_t i = order[oi];
+    auto& lmap = node_labels[i];
+    if (lmap.empty()) continue;
+    // prune to the cheapest labels_per_node entries
+    if ((int64_t)lmap.size() > labels_per_node) {
+      std::vector<std::pair<double, std::vector<int8_t>>> by_cost;
+      by_cost.reserve(lmap.size());
+      for (auto& kv : lmap) by_cost.push_back({labels[kv.second].cost, kv.first});
+      std::sort(by_cost.begin(), by_cost.end());
+      for (size_t r = labels_per_node; r < by_cost.size(); ++r)
+        lmap.erase(by_cost[r].second);
+    }
+    for (auto& kv : lmap) {
+      int32_t li = kv.second;
+      double base_cost = labels[li].cost;
+      for (const Edge& e : adj[i]) {
+        double c_new = base_cost + e.cost;
+        int32_t cofs = -1;
+        if (M > 0) {
+          cofs = (int32_t)cum_pool.size();
+          const double* cw = &cum_pool[labels[li].wind_ofs];
+          const double* ew = &wind_pool[e.wind_ofs];
+          for (int64_t m = 0; m < M; ++m) {
+            double w = cw[m] + ew[m];
+            cum_pool.push_back(w);
+            double q = std::nearbyint(w / PI);
+            key[m] = (int8_t)std::max(-127.0, std::min(127.0, q));
+          }
+        }
+        auto& tmap = node_labels[e.to];
+        auto it = tmap.find(key);
+        if (it == tmap.end() || labels[it->second].cost > c_new) {
+          labels.push_back(Label{c_new, e.to, li, cofs});
+          if (it == tmap.end())
+            tmap[key] = (int32_t)(labels.size() - 1);
+          else
+            it->second = (int32_t)(labels.size() - 1);
+        } else if (M > 0) {
+          cum_pool.resize(cofs);  // dominated: discard winding slot
+        }
+      }
+    }
+  }
+
+  // --- collect goal labels, cost-ordered, key-distinct ---------------------
+  std::vector<std::pair<double, int32_t>> cands;
+  std::map<std::vector<int8_t>, char> seen;
+  for (int64_t g = n - n_goals; g < n; ++g)
+    for (auto& kv : node_labels[g]) cands.push_back({labels[kv.second].cost, kv.second});
+  std::sort(cands.begin(), cands.end());
+
+  int64_t count = 0;
+  for (auto& c : cands) {
+    if (count >= max_out) break;
+    // re-derive the key from the label's cumulative winding
+    std::vector<int8_t> k2(M);
+    if (M > 0) {
+      const double* cw = &cum_pool[labels[c.second].wind_ofs];
+      for (int64_t m = 0; m < M; ++m) {
+        double q = std::nearbyint(cw[m] / PI);
+        k2[m] = (int8_t)std::max(-127.0, std::min(127.0, q));
+      }
+    }
+    if (seen.count(k2)) continue;
+    seen[k2] = 1;
+    // backtrack
+    std::vector<int64_t> chain;
+    for (int32_t li = c.second; li >= 0; li = labels[li].parent)
+      chain.push_back(labels[li].node);
+    std::reverse(chain.begin(), chain.end());
+    out_cost[count] = c.first;
+    out_len[count] = (int64_t)chain.size();
+    for (size_t q = 0; q < chain.size(); ++q)
+      out_nodes[count * n + (int64_t)q] = chain[q];
+    ++count;
+  }
+  *out_count = count;
+  return 0;
 }
 
 }  // extern "C"

@@ -70,3 +70,39 @@ def test_spline_fit_uses_native():
     y = t**2
     spl = CubicSpline(t, y)
     np.testing.assert_allclose(spl(t), y, atol=1e-9)
+
+
+def test_prm_search_native_matches_numpy(cfg):
+    """The C++ prm_search returns the same cost-ordered homology-distinct
+    chains as the numpy fallback."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from mpc_planner_tpu.guidance import VisibilityPRMPlanner
+
+    prm = VisibilityPRMPlanner(
+        cfg.replace(t_mpc=cfg.t_mpc.__class__(guidance_backend="prm")))
+    rng = np.random.default_rng(3)
+    N = cfg.N
+    n, n_goals = 24, 3
+    pos = np.concatenate([
+        np.zeros((1, 2)),
+        rng.uniform([-1, -3], [9, 3], size=(n - 1 - n_goals, 2)),
+        np.stack([np.full(n_goals, 8.0), np.linspace(-1, 1, n_goals)], -1),
+    ])
+    tk = np.concatenate([
+        [0], rng.integers(1, N, n - 1 - n_goals), np.full(n_goals, N)
+    ]).astype(np.int64)
+    M = 3
+    base = rng.uniform([1, -1], [6, 1], size=(M, 1, 2))
+    vel = rng.uniform(-0.3, 0.3, size=(M, 1, 2))
+    pred = base + vel * np.arange(N + 1)[None, :, None] * cfg.dt
+    clear = np.full(M, 0.7)
+
+    res_native = native.prm_search(pos, tk, n_goals, pred, clear, cfg.dt,
+                                   prm.v_max, prm._labels_per_node, 12)
+    res_numpy = prm._search_numpy(pos, tk, n_goals, pred, clear, cfg.dt, 12)
+    assert res_native is not None
+    assert len(res_native) == len(res_numpy)
+    for (c1, ch1), (c2, ch2) in zip(res_native, res_numpy):
+        assert abs(c1 - c2) < 1e-9
+        assert list(ch1) == list(ch2)
