@@ -145,9 +145,42 @@ class VisibilityPRMPlanner(GuidancePlanner):
             # the constructive lateral backend so T-MPC always has guesses.
             return super().update(state, path, obstacle_block, s0, v_ref)
 
+        # Class scale-out (SURVEY.md §7.7): emit `samples_per_class`
+        # retimed warmstart variants per homotopy class — same signature,
+        # so selection/consistency treat them as one class while the batch
+        # axis carries them all.
+        spc = max(1, int(getattr(cfg.t_mpc, "samples_per_class", 1)))
+        if spc > 1:
+            speed_f = (0.8, 1.15, 0.65, 0.9, 1.3)
+            expanded = []
+            for traj in trajectories:
+                expanded.append(traj)
+                for i in range(spc - 1):
+                    expanded.append(self._retime(traj, speed_f[i % len(speed_f)],
+                                                 path, s0))
+            trajectories = expanded
+
         if getattr(cfg.t_mpc, "braking_class", False):
             trajectories.append(self._braking_trajectory(state, path, s0))
         return trajectories
+
+    def _retime(self, traj: GuidanceTrajectory, scale: float, path,
+                s0: float) -> GuidanceTrajectory:
+        """Speed-scaled variant of a guidance trajectory (same class)."""
+        Np1 = len(traj.positions)
+        ks = np.clip(np.arange(Np1) * scale, 0.0, Np1 - 1.0)
+        base = np.arange(Np1, dtype=float)
+        positions = np.stack(
+            [np.interp(ks, base, traj.positions[:, d]) for d in range(2)], axis=-1
+        )
+        out = GuidanceTrajectory(
+            positions=positions,
+            s=self._project(path, positions, s0),
+            signature=traj.signature,
+            obstacle_ids=traj.obstacle_ids,
+        )
+        out.previously_selected = traj.previously_selected
+        return out
 
     def _search(self, pos, tk, n_goals: int, pred, clear, dt: float):
         """Up to 3*n_paths cost-ordered, homology-distinct node chains from

@@ -153,3 +153,22 @@ def test_tmpc_cycle_with_prm_backend(prm_cfg):
     gmod = modules.get("GuidanceConstraints")
     assert isinstance(gmod.guidance, VisibilityPRMPlanner)
     assert gmod._selected_planner >= 0
+
+
+def test_prm_samples_per_class_scale_out(prm_cfg):
+    """samples_per_class > 1 emits retimed variants with the same class
+    signature (batch-axis scale-out, SURVEY.md §7.7)."""
+    cfg = prm_cfg.replace(t_mpc=prm_cfg.t_mpc.__class__(
+        guidance_backend="prm", samples_per_class=3))
+    state, data = _scene(cfg, [(1.2, 0.0)])
+    from mpc_planner_tpu.spline_fit import PathSpline2D
+
+    path = PathSpline2D(np.linspace(0, 6, 13), np.zeros(13))
+    base = VisibilityPRMPlanner(prm_cfg).update(
+        state, path, data.obstacle_block, 0.0, 1.5)
+    trajs = VisibilityPRMPlanner(cfg).update(
+        state, path, data.obstacle_block, 0.0, 1.5)
+    assert len(trajs) == 3 * len(base)
+    for i, t in enumerate(trajs):
+        assert t.signature == base[i // 3].signature
+        assert t.positions.shape == base[0].positions.shape
