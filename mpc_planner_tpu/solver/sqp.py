@@ -169,7 +169,9 @@ class SQPSolver:
         nu, nvar = ocp.nu, ocp.nvar
         rng = np.random.default_rng(0)
         # Probe on host CPU: a tiny one-off trace, not worth a TPU compile.
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process job global CPU
+        # device 0 belongs to process 0 and is non-addressable elsewhere.
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             hess = jax.jit(jax.hessian(ocp.running_cost))
             probes = [
