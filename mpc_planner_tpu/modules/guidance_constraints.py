@@ -134,18 +134,27 @@ class GuidanceConstraintModule(ConstraintModule):
         a2_idx = module_data.pblock.registry.bundle_indices("lin_constraint_a2")
         b_idx = module_data.pblock.registry.bundle_indices("lin_constraint_b")
 
-        for i, traj in enumerate(trajs):
-            Z0[i] = self._warmstart_from_guidance(model, traj, Z_main)
-            # Braking class: safety submodule only, no topology halfspaces
-            # (like the reference's non-guided planner) — a stop-in-lane
-            # plan must stay feasible even when every passing side is
-            # blocked.
-            if self.enable_constraints and not getattr(traj, "braking", False):
-                a1, a2, b = self._topology_halfspaces(traj, blk, robot_radius)
-                P[i][1:N, a1_idx[: blk.position.shape[0]]] = a1
-                P[i][1:N, a2_idx[: blk.position.shape[0]]] = a2
-                P[i][1:N, b_idx[: blk.position.shape[0]]] = b
-                P[i][N] = P[i][N - 1]
+        # Vectorized over all guided trajectories — at 1000+ guesses per
+        # cycle (samples_per_class scale-out) a per-trajectory Python loop
+        # would dominate the cycle on the host.
+        Z0[: len(trajs)] = self._warmstarts_from_guidance(model, trajs, Z_main)
+        # Braking class: safety submodule only, no topology halfspaces
+        # (like the reference's non-guided planner) — a stop-in-lane
+        # plan must stay feasible even when every passing side is
+        # blocked.
+        non_braking = _np.array(
+            [not getattr(t, "braking", False) for t in trajs], dtype=bool
+        )
+        if self.enable_constraints and non_braking.any():
+            sel = _np.flatnonzero(non_braking)
+            pos_all = _np.stack([trajs[i].positions for i in sel], axis=0)
+            a1, a2, b = self._topology_halfspaces_batch(pos_all, blk, robot_radius)
+            n_obs = blk.position.shape[0]
+            for j in range(n_obs):
+                P[sel, 1:N, a1_idx[j]] = a1[:, :, j]
+                P[sel, 1:N, a2_idx[j]] = a2[:, :, j]
+                P[sel, 1:N, b_idx[j]] = b[:, :, j]
+            P[sel, N] = P[sel, N - 1]
         if self.use_tmpc_pp:
             # T-MPC++: the non-guided planner with the main warmstart and
             # no homotopy constraints (ref :286-298 "original planner")
@@ -218,84 +227,86 @@ class GuidanceConstraintModule(ConstraintModule):
             "selected": best,
         }
 
-    def _warmstart_from_guidance(self, model, traj, Z_main) -> "np.ndarray":
-        """initializeSolverWithGuidance (ref :390-414): x, y from the
-        guidance spline, psi from its direction, v from spacing; inputs
-        reconstructed by finite differences so the warmstart is close to
-        dynamically consistent (the reference inherits the copied solver's
-        inputs instead — a worse interior-point start)."""
+    def _warmstarts_from_guidance(self, model, trajs, Z_main) -> "np.ndarray":
+        """initializeSolverWithGuidance (ref :390-414), vectorized over the
+        whole trajectory batch: x, y from the guidance splines, psi from
+        their direction, v from spacing; inputs reconstructed by finite
+        differences so every warmstart is close to dynamically consistent
+        (the reference inherits the copied solver's inputs instead — a
+        worse interior-point start)."""
         import numpy as _np
 
         from mpc_planner_tpu.solver.warmstart import clip_to_bounds
 
         N = self.cfg.N
         dt = self.cfg.dt
-        Z = _np.array(Z_main, dtype=float, copy=True)
-        pos = traj.positions
-        d = _np.diff(pos, axis=0)
-        step = _np.linalg.norm(d, axis=-1)
+        B = len(trajs)
+        Z = _np.broadcast_to(
+            _np.asarray(Z_main, dtype=float), (B,) + Z_main.shape
+        ).copy()
+        pos = _np.stack([t.positions for t in trajs], axis=0)  # [B, N+1, 2]
+        d = _np.diff(pos, axis=1)  # [B, N, 2]
+        step = _np.linalg.norm(d, axis=-1)  # [B, N]
+        ang = _np.arctan2(d[..., 1], d[..., 0])
         # psi from direction; carry the previous value through ~zero steps
-        psi = _np.empty(N + 1)
-        psi[0] = Z_main[0, model.index("psi")] if "psi" in model.states else 0.0
+        psi = _np.empty((B, N + 1))
+        psi[:, 0] = Z_main[0, model.index("psi")] if "psi" in model.states else 0.0
         for k in range(1, N + 1):
-            psi[k] = _np.arctan2(d[k - 1, 1], d[k - 1, 0]) if step[k - 1] > 1e-3 else psi[k - 1]
-        speed = _np.concatenate([step / dt, step[-1:] / dt])
+            psi[:, k] = _np.where(step[:, k - 1] > 1e-3, ang[:, k - 1], psi[:, k - 1])
+        speed = _np.concatenate([step / dt, step[:, -1:] / dt], axis=1)
 
-        Z[:, model.index("x")] = pos[:, 0]
-        Z[:, model.index("y")] = pos[:, 1]
+        Z[:, :, model.index("x")] = pos[..., 0]
+        Z[:, :, model.index("y")] = pos[..., 1]
         try:
-            Z[:, model.index("psi")] = psi
-            Z[:, model.index("v")] = speed
+            Z[:, :, model.index("psi")] = psi
+            Z[:, :, model.index("v")] = speed
         except KeyError:
             pass
         try:
-            Z[:, model.index("spline")] = traj.s
+            Z[:, :, model.index("spline")] = _np.stack([t.s for t in trajs], axis=0)
         except KeyError:
             pass
         # Inputs by finite differences
         try:
-            a = _np.diff(speed) / dt
-            Z[:-1, model.index("a")] = a
-            Z[-1, model.index("a")] = 0.0
+            Z[:, :-1, model.index("a")] = _np.diff(speed, axis=1) / dt
+            Z[:, -1, model.index("a")] = 0.0
         except KeyError:
             pass
         try:
-            dpsi = _np.mod(_np.diff(psi) + _np.pi, 2 * _np.pi) - _np.pi
-            Z[:-1, model.index("w")] = dpsi / dt
-            Z[-1, model.index("w")] = 0.0
+            dpsi = _np.mod(_np.diff(psi, axis=1) + _np.pi, 2 * _np.pi) - _np.pi
+            Z[:, :-1, model.index("w")] = dpsi / dt
+            Z[:, -1, model.index("w")] = 0.0
         except KeyError:
             pass
         # Holonomic (point-mass) models: velocity/acceleration components
         if "vx" in model.states:
-            vel = _np.concatenate([d / dt, d[-1:] / dt])  # [N+1, 2]
-            Z[:, model.index("vx")] = vel[:, 0]
-            Z[:, model.index("vy")] = vel[:, 1]
-            acc = _np.diff(vel, axis=0) / dt
-            Z[:-1, model.index("ax")] = acc[:, 0]
-            Z[:-1, model.index("ay")] = acc[:, 1]
-            Z[-1, model.index("ax")] = 0.0
-            Z[-1, model.index("ay")] = 0.0
+            vel = _np.concatenate([d / dt, d[:, -1:] / dt], axis=1)  # [B, N+1, 2]
+            Z[:, :, model.index("vx")] = vel[..., 0]
+            Z[:, :, model.index("vy")] = vel[..., 1]
+            acc = _np.diff(vel, axis=1) / dt
+            Z[:, :-1, model.index("ax")] = acc[..., 0]
+            Z[:, :-1, model.index("ay")] = acc[..., 1]
+            Z[:, -1, model.index("ax")] = 0.0
+            Z[:, -1, model.index("ay")] = 0.0
         return clip_to_bounds(model, Z)
 
-    def _topology_halfspaces(self, traj, blk, robot_radius):
-        """Separating halfspaces w.r.t. the guidance trajectory, the
+    def _topology_halfspaces_batch(self, pos_all, blk, robot_radius):
+        """Separating halfspaces w.r.t. each guidance trajectory, the
         LinearizedConstraints topology mode (linearized_constraints.cpp:
-        43-47, 85-105: radius 1e-3, robot point)."""
+        43-47, 85-105: radius 1e-3, robot point). pos_all [B, N+1, 2] ->
+        (a1, a2, b) each [B, N-1, M]."""
         import numpy as _np
 
         N = self.cfg.N
-        pos = traj.positions[1:N]  # stages 1..N-1
+        pos = pos_all[:, 1:N]  # [B, N-1, 2], stages 1..N-1
         obst = blk.pred_position[:, : N - 1]  # [M, N-1, 2] (step k-1 for stage k)
-        diff = obst - pos[None, :, :]
-        dist = _np.linalg.norm(diff, axis=-1)
-        dist = _np.maximum(dist, 1e-9)
-        a1 = (diff[..., 0] / dist).T  # [N-1, M]
-        a2 = (diff[..., 1] / dist).T
-        b = (
-            a1 * obst[..., 0].T
-            + a2 * obst[..., 1].T
-            - (1e-3 + robot_radius)
-        )
+        diff = obst[None] - pos[:, None, :, :]  # [B, M, N-1, 2]
+        dist = _np.maximum(_np.linalg.norm(diff, axis=-1), 1e-9)
+        a1 = _np.swapaxes(diff[..., 0] / dist, 1, 2)  # [B, N-1, M]
+        a2 = _np.swapaxes(diff[..., 1] / dist, 1, 2)
+        ox = _np.swapaxes(obst[..., 0], 0, 1)[None]  # [1, N-1, M]
+        oy = _np.swapaxes(obst[..., 1], 0, 1)[None]
+        b = a1 * ox + a2 * oy - (1e-3 + robot_radius)
         return a1, a2, b
 
     def is_objective_reached(self, state, data) -> bool:

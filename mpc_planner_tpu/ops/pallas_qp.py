@@ -96,21 +96,27 @@ def _sym_inv(M, n: int):
 
 def _qp_kernel(
     # inputs (VMEM refs, one batch block on the lanes)
-    H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, lb_ref, ub_ref, ml_ref, mu_ref,
+    H_ref, g_ref, A_ref, B_ref, c_ref, Dh_ref, lb_ref, ub_ref,
     wl_ref, wu_ref, wok_ref,
     # outputs
     dz_ref, lam_l_ref, lam_u_ref, mu_out_ref,
     # scratch
     s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref, kff_ref, dzt_ref,
     w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref,
-    *, N: int, nu: int, nx: int, nvar: int, nrows: int,
+    *, N: int, nu: int, nx: int, nvar: int, nrows: int, nh: int,
     iterations: int, mu0: float, reg: float, tau: float, use_warm: bool,
 ):
+    # Row layout per stage: [u-box, x-box, h]. The box rows' Jacobian is
+    # the identity over z (nu + nx == nvar), so only the nh general rows
+    # carry a stored Jacobian (Dh_ref) — the box rows contribute
+    # analytically (diagonal adds / direct slices). The row masks are
+    # derived from the +-1e15 bound sentinels the caller folds in
+    # (saves two full [N+1, nrows, LANES] VMEM inputs).
     f32 = jnp.float32
-    ml = ml_ref[...]
-    mu_mask = mu_ref[...]
     lb = lb_ref[...]
     ub = ub_ref[...]
+    ml = (lb > -1e14).astype(f32)
+    mu_mask = (ub < 1e14).astype(f32)
     n_active = jnp.maximum(jnp.sum(ml, axis=(0, 1)) + jnp.sum(mu_mask, axis=(0, 1)), 1.0)  # [L]
 
     # --- init ---------------------------------------------------------
@@ -138,16 +144,21 @@ def _qp_kernel(
     zeta_ref[...] = jnp.zeros((N + 1, nvar, LANES), f32)
 
     eye_u = _ed(jnp.eye(nu, dtype=f32), 2)
+    eye_v = _ed(jnp.eye(nvar, dtype=f32), 2)
 
     def hbar_stage(k):
-        """H_k + D_k' diag(w_k) D_k -> [nvar, nvar, L]. Reads only refs so
-        it can be indexed dynamically inside loops (Mosaic restriction:
-        dynamic_slice is ref-only)."""
-        Dk = D_ref[k]  # [nrows, nvar, L]
+        """H_k + D_k' diag(w_k) D_k -> [nvar, nvar, L]. Box rows are the
+        identity over z, so their contribution is a diagonal add. Reads
+        only refs so it can be indexed dynamically inside loops (Mosaic
+        restriction: dynamic_slice is ref-only)."""
         wk = w_ref[k]  # [nrows, L]
-        return H_ref[k] + jnp.sum(
-            _ed(Dk, 2) * _ed(Dk, 1) * _ed(_ed(wk, 1), 1), axis=0
-        )
+        Hb = H_ref[k] + eye_v * _ed(wk[:nvar], 1)
+        if nh:
+            Dk = Dh_ref[k]  # [nh, nvar, L]
+            Hb = Hb + jnp.sum(
+                _ed(Dk, 2) * _ed(Dk, 1) * _ed(_ed(wk[nvar:], 1), 1), axis=0
+            )
+        return Hb
 
     def ip_body(_, mu_prev_unused):
         s_l = s_l_ref[...]
@@ -160,7 +171,13 @@ def _qp_kernel(
         converged = mu < _MU_FREEZE
 
         def e_body(k, _):
-            e_ref[k] = jnp.sum(D_ref[k] * _ed(zeta_ref[k], 0), axis=1)
+            if nh:
+                e_ref[k] = jnp.concatenate(
+                    [zeta_ref[k], jnp.sum(Dh_ref[k] * _ed(zeta_ref[k], 0), axis=1)],
+                    axis=0,
+                )
+            else:
+                e_ref[k] = zeta_ref[k]
             return 0
 
         jax.lax.fori_loop(0, N + 1, e_body, 0)
@@ -216,9 +233,12 @@ def _qp_kernel(
             )  # [N+1, nrows, L]
 
             def gb_body(k, _):
-                gb_ref[k] = gst_ref[k] + jnp.sum(
-                    D_ref[k] * _ed(coef_ref[k], 1), axis=0
-                )
+                gb = gst_ref[k] + coef_ref[k, :nvar]
+                if nh:
+                    gb = gb + jnp.sum(
+                        Dh_ref[k] * _ed(coef_ref[k, nvar:], 1), axis=0
+                    )
+                gb_ref[k] = gb
                 return 0
 
             jax.lax.fori_loop(0, N + 1, gb_body, 0)
@@ -250,7 +270,13 @@ def _qp_kernel(
             dz = dzt_ref[...]
 
             def ddz_body(k, _):
-                e_ref[k] = jnp.sum(D_ref[k] * _ed(dzt_ref[k], 0), axis=1)
+                if nh:
+                    e_ref[k] = jnp.concatenate(
+                        [dzt_ref[k], jnp.sum(Dh_ref[k] * _ed(dzt_ref[k], 0), axis=1)],
+                        axis=0,
+                    )
+                else:
+                    e_ref[k] = dzt_ref[k]
                 return 0
 
             jax.lax.fori_loop(0, N + 1, ddz_body, 0)
@@ -356,9 +382,18 @@ def solve_qp_pallas(
             x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], 0)
         return _to_lanes(x.astype(jnp.float32))
 
-    H, g, A, Bm, c, D, lb, ub, ml, mu_mask = (
+    nb = nu + nx  # == nvar; box rows are identity and never stored
+    nh = nrows - nb
+    # Fold the row masks into the bounds as +-1e15 sentinels — the kernel
+    # re-derives the masks with a compare, saving two full-size inputs.
+    lb_fold = jnp.where(qp.mask_l > 0, qp.lb, -1e15)
+    ub_fold = jnp.where(qp.mask_u > 0, qp.ub, 1e15)
+    Dh_rows = qp.D[:, :, nb:, :] if nh else jnp.zeros(
+        qp.D.shape[:2] + (1, nvar), qp.D.dtype
+    )
+    H, g, A, Bm, c, Dh, lb, ub = (
         prep(qp.H), prep(qp.g), prep(qp.A), prep(qp.B), prep(qp.c),
-        prep(qp.D), prep(qp.lb), prep(qp.ub), prep(qp.mask_l), prep(qp.mask_u),
+        prep(Dh_rows), prep(lb_fold), prep(ub_fold),
     )
     if warm_duals is not None:
         wl, wu, wok = warm_duals
@@ -376,7 +411,7 @@ def solve_qp_pallas(
 
     kernel = functools.partial(
         _qp_kernel,
-        N=N, nu=nu, nx=nx, nvar=nvar, nrows=nrows,
+        N=N, nu=nu, nx=nx, nvar=nvar, nrows=nrows, nh=nh,
         iterations=iterations, mu0=mu0, reg=reg, tau=tau, use_warm=use_warm,
     )
 
@@ -387,12 +422,7 @@ def solve_qp_pallas(
         jax.ShapeDtypeStruct((1, LANES), jnp.float32),
     )
 
-    call = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes),
-        out_shape=out_shapes,
-        scratch_shapes=[
+    scratch = [
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # s_l
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # s_u
             pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # zeta
@@ -408,30 +438,34 @@ def solve_qp_pallas(
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e / Ddz
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # coef
             pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_stat
-        ],
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
-    # Split the lane axis into blocks and map the single-block kernel.
+    # Split the lane axis into blocks: [..., G*LANES] -> [G, ..., LANES].
     def blocks(x):
         return jnp.moveaxis(x.reshape(x.shape[:-1] + (G, LANES)), -2, 0)
 
     inputs = tuple(
-        blocks(x) for x in (H, g, A, Bm, c, D, lb, ub, ml, mu_mask, wl, wu, wok)
+        blocks(x) for x in (H, g, A, Bm, c, Dh, lb, ub, wl, wu, wok)
     )
-    if G == 1:
-        outs = call(*(x[0] for x in inputs))
-        dz, lam_l, lam_u, mu_out = (o[None] for o in outs)
-    else:
-        # Statically unrolled block loop. `jax.lax.map` here triggers an
-        # XLA:TPU miscompile at some block counts (G=2: all-NaN results /
-        # worker crashes, schedule-dependent on unrelated epilogue ops;
-        # G=8 happened to be fine) — see docs/pallas_mirror_miscompile.md.
-        # G is small (batch/128) so unrolling is also marginally faster.
-        per_block = [call(*(x[g] for x in inputs)) for g in range(G)]
-        dz, lam_l, lam_u, mu_out = (
-            jnp.stack([blk[i] for blk in per_block], axis=0) for i in range(4)
-        )
+    # Statically unrolled block loop: `jax.lax.map` here miscompiles (see
+    # docs/pallas_mirror_miscompile.md), and a grid=(G,) single-call form
+    # was tried and rejected — correct but ~3 ms/RTI-iteration slower in
+    # the full program (docs/PERF_NOTES.md). G is small (batch/128).
+    per_block = [call(*(x[g] for x in inputs)) for g in range(G)]
+    dz, lam_l, lam_u, mu_out = (
+        jnp.stack([blk[i] for blk in per_block], axis=0) for i in range(4)
+    )
 
     def unblocks(x):
         return jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (Bp,))

@@ -135,7 +135,17 @@ class SQPSolver:
                 platform = jax.devices()[0].platform
             except Exception:  # pragma: no cover
                 platform = "cpu"
-            backend = "pallas" if platform != "cpu" and nu <= 3 else "xla"
+            # nvar <= 7: at nvar=8 (the SH-MPC slack model) the compiled
+            # kernel is NONDETERMINISTICALLY faulty on hardware — the same
+            # program flip-flops between chip faults, all-NaN results and
+            # correct answers across processes, in every scan/unroll x
+            # dispatch combination tried, while nvar<=7 configs have never
+            # faulted once (docs/PERF_NOTES.md). Until that Mosaic/XLA bug
+            # is understood, wide models take the XLA path: slower, stable.
+            backend = (
+                "pallas" if platform != "cpu" and nu <= 3 and ocp.nvar <= 7
+                else "xla"
+            )
         self.qp_backend = backend
 
         # Compiled-function cache keyed by (num_iterations, batched): the
