@@ -78,7 +78,7 @@ def make_rungs():
     from mpc_planner_tpu.presets import (
         configuration_basic,
         configuration_no_obstacles,
-        configuration_safe_horizon,
+        configuration_safe_horizon_hard,
         configuration_tmpc,
         corridor_scene,
     )
@@ -127,9 +127,11 @@ def make_rungs():
     state, data = corridor_scene(cfg, n_pedestrians=8)
     rungs.append(("tmpc", cfg, model, mgr, state, data))
 
-    # 6. SH-MPC scenario constraints
+    # 6. SH-MPC scenario constraints (hard variant, nvar=7 -> Pallas;
+    # the slack model is nvar=8 and runs on the XLA path only, see
+    # docs/PERF_NOTES.md)
     cfg = default_config(N=20).replace(max_obstacles=8)
-    model, mgr = configuration_safe_horizon(cfg)
+    model, mgr = configuration_safe_horizon_hard(cfg)
     state, data = corridor_scene(cfg, n_pedestrians=8)
     rungs.append(("shmpc", cfg, model, mgr, state, data))
 

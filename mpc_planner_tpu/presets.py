@@ -95,6 +95,24 @@ def configuration_safe_horizon(cfg):
     return model, modules
 
 
+def configuration_safe_horizon_hard(cfg):
+    """SH-MPC without the slack state: same 24 scenario halfspaces on the
+    plain contouring model (nvar=7). The slack model (ref :71-94) remains
+    the faithful variant but is nvar=8, which the Pallas QP kernel cannot
+    run reliably on current libtpu (docs/PERF_NOTES.md) — it takes the
+    stable XLA path instead. This hard-constrained variant keeps the
+    scenario pipeline on the fast kernel; infeasible scenario draws are
+    reported as infeasible rather than absorbed by slack."""
+    modules = ModuleManager()
+    model = ContouringSecondOrderUnicycleModel()
+    _add_base(modules, cfg)
+    modules.add_module(ContouringModule(cfg))
+    if cfg.contouring.dynamic_velocity_reference:
+        modules.add_module(PathReferenceVelocityModule(cfg))
+    modules.add_module(ScenarioConstraintModule(cfg))
+    return model, modules
+
+
 def configuration_lmpcc(cfg):
     """Ref :109-126 — goal + velocity reference + ellipsoids."""
     modules = ModuleManager()
@@ -124,6 +142,7 @@ def system_jackalsimulator(variant: str = "tmpc", **overrides):
         "basic": configuration_basic,
         "no_obstacles": configuration_no_obstacles,
         "safe_horizon": configuration_safe_horizon,
+        "safe_horizon_hard": configuration_safe_horizon_hard,
         "lmpcc": configuration_lmpcc,
     }
     model, modules = builders[variant](cfg)
