@@ -449,6 +449,14 @@ def solve_qp_pallas(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
+        # The default 16 MB scoped-VMEM cap is conservative headroom for
+        # DMA pipelining of *other* ops; this kernel is a one-shot
+        # whole-VMEM program (all inputs resident, no grid pipeline), so
+        # let it use most of the chip's 128 MB. Required for LANES=256
+        # (~23 MB working set).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )
 
     # Split the lane axis into blocks: [..., G*LANES] -> [G, ..., LANES].
