@@ -7,9 +7,15 @@ def make_guidance_planner(cfg):
     backend = getattr(cfg.t_mpc, "guidance_backend", "lateral")
     if backend == "prm":
         return VisibilityPRMPlanner(cfg)
+    if backend == "sampled":
+        from mpc_planner_tpu.guidance.device_prm import DeviceSampledPlanner
+
+        return DeviceSampledPlanner(cfg)
     if backend == "lateral":
         return GuidancePlanner(cfg)
-    raise ValueError(f"Unknown guidance backend '{backend}' (lateral | prm)")
+    raise ValueError(
+        f"Unknown guidance backend '{backend}' (lateral | prm | sampled)"
+    )
 
 
 __all__ = [

@@ -61,8 +61,11 @@ class TMPCConfig:
     # frame (fast, deterministic — the default); "prm" searches a seeded
     # Visibility-PRM over (x, y, t) with winding-number homology filtering,
     # matching the reference's guidance_planner behavior
-    # (guidance_planner.yaml: 30 samples, n_paths=4, seeded).
+    # (guidance_planner.yaml: 30 samples, n_paths=4, seeded); "sampled"
+    # evaluates thousands of candidate space-time paths in one jitted
+    # device sweep (guidance/device_prm.py) — the scale-out backend.
     guidance_backend: str = "lateral"
+    sampled_n_samples: int = 512  # device-sweep candidates per cycle
     prm_n_samples: int = 30  # ref guidance_planner.yaml n_samples
     prm_seed: int = 1  # ref guidance_planner.yaml seed
     prm_max_velocity: float = 3.0  # edge velocity budget [m/s]
