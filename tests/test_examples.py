@@ -1,0 +1,26 @@
+"""Smoke-run the examples so they cannot rot.
+
+Only the cheapest example runs in CI time; the others share the same
+code paths and are exercised by the module test suites.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("script", ["01_goal_tracking.py"])
+def test_example_runs(script):
+    env = dict(os.environ)
+    env.pop("EXAMPLES_TPU", None)  # force the CPU path
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", script)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.join(ROOT, "examples"),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "goal reached" in proc.stdout
