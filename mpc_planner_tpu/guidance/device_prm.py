@@ -183,9 +183,9 @@ class DeviceSampledPlanner(VisibilityPRMPlanner):
             n_samples=self.n_samples,
             n_goals=len(goals),
         )
-        side = np.asarray(side_d)
-        cost = np.asarray(cost_d)
-        feas = np.asarray(feas_d)
+        # One bundled device->host transfer: through a remote-device tunnel
+        # each separate pull pays full round-trip latency.
+        side, cost, feas = jax.device_get((side_d, cost_d, feas_d))
 
         spc = max(1, int(getattr(cfg.t_mpc, "samples_per_class", 1)))
         order = np.argsort(cost, kind="stable")
