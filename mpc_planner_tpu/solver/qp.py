@@ -130,6 +130,7 @@ def solve_qp(
     reg: float = 1e-7,
     tau: float = 0.995,
     warm_duals=None,
+    horizon_parallel: bool = False,
 ) -> QPSolution:
     """Mehrotra predictor-corrector IP solve, fixed iteration count.
 
@@ -137,6 +138,10 @@ def solve_qp(
     (HPIPM qp_solver_warm_start=2, generate_acados_solver.py:172): carrying
     multipliers across relinearizations lets later QPs converge in a
     fraction of the iterations.
+
+    `horizon_parallel` swaps the O(N)-depth sequential Riccati sweeps for
+    the O(log N)-depth associative-scan LQR (solver/parallel_riccati.py) —
+    same Newton systems, chosen for long horizons.
     """
     Np1, nrows, nvar = data.D.shape
     dtype = data.H.dtype
@@ -181,7 +186,18 @@ def solve_qp(
 
         w = jnp.clip(mask_l * lam_l / s_l + mask_u * lam_u / s_u, 0.0, _W_MAX)
         H_bar = data.H + jnp.einsum("krv,kr,krw->kvw", data.D, w, data.D)
-        factors = _riccati_factor(H_bar, data.A, data.B, nu, nx, reg)
+        if horizon_parallel:
+            from mpc_planner_tpu.solver import parallel_riccati
+
+            prep = parallel_riccati.prepare(H_bar, data.A, data.B, nu, nx, reg)
+            solve_linear = lambda g_bar, r: parallel_riccati.solve(
+                prep, g_bar, r, data.B, nu, nx
+            )
+        else:
+            factors = _riccati_factor(H_bar, data.A, data.B, nu, nx, reg)
+            solve_linear = lambda g_bar, r: _riccati_linear(
+                factors, g_bar, r, data.A, data.B, nu, nx
+            )
 
         r_eq = (
             jnp.einsum("kxy,ky->kx", data.A, zeta[:-1, nu:])
@@ -200,7 +216,7 @@ def solve_qp(
                 + mask_u * (rc_u - lam_u * rho_u) / s_u
             )
             g_bar = g_stat + jnp.einsum("krv,kr->kv", data.D, coef)
-            dz = _riccati_linear(factors, g_bar, r_eq, data.A, data.B, nu, nx)
+            dz = solve_linear(g_bar, r_eq)
             Ddz = jnp.einsum("krv,kv->kr", data.D, dz)
             ds_l = (Ddz + rho_l) * mask_l
             ds_u = (rho_u - Ddz) * mask_u
