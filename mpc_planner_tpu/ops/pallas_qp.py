@@ -102,9 +102,10 @@ def _qp_kernel(
     dz_ref, lam_l_ref, lam_u_ref, mu_out_ref,
     # scratch
     s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref, kff_ref, dzt_ref,
-    w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref,
+    w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref, ecar_ref,
     *, N: int, nu: int, nx: int, nvar: int, nrows: int, nh: int,
     iterations: int, mu0: float, reg: float, tau: float, use_warm: bool,
+    mehrotra: bool, sigma_fixed: float,
 ):
     # Row layout per stage: [u-box, x-box, h]. The box rows' Jacobian is
     # the identity over z (nu + nx == nvar), so only the nh general rows
@@ -142,6 +143,10 @@ def _qp_kernel(
         lam_l_ref[...] = lam_l_cold
         lam_u_ref[...] = lam_u_cold
     zeta_ref[...] = jnp.zeros((N + 1, nvar, LANES), f32)
+    # e = D zeta carried incrementally across IP iterations (zeta starts
+    # at 0, and each update is e += a_p * D dz with D dz already computed
+    # by the corrector) — saves a per-stage D-multiply loop per iteration.
+    ecar_ref[...] = jnp.zeros((N + 1, nrows, LANES), f32)
 
     eye_u = _ed(jnp.eye(nu, dtype=f32), 2)
     eye_v = _ed(jnp.eye(nvar, dtype=f32), 2)
@@ -170,18 +175,7 @@ def _qp_kernel(
         mu = (jnp.sum(s_l * lam_l * ml, axis=(0, 1)) + jnp.sum(s_u * lam_u * mu_mask, axis=(0, 1))) / n_active  # [L]
         converged = mu < _MU_FREEZE
 
-        def e_body(k, _):
-            if nh:
-                e_ref[k] = jnp.concatenate(
-                    [zeta_ref[k], jnp.sum(Dh_ref[k] * _ed(zeta_ref[k], 0), axis=1)],
-                    axis=0,
-                )
-            else:
-                e_ref[k] = zeta_ref[k]
-            return 0
-
-        jax.lax.fori_loop(0, N + 1, e_body, 0)
-        e = e_ref[...]  # [N+1, nrows, L]
+        e = ecar_ref[...]  # [N+1, nrows, L] = D zeta, carried incrementally
         rho_l = (e - lb - s_l) * ml
         rho_u = (ub - e - s_u) * mu_mask
         w_ref[...] = jnp.clip(ml * lam_l / s_l + mu_mask * lam_u / s_u, 0.0, _W_MAX)
@@ -291,24 +285,34 @@ def _qp_kernel(
             ratio = jnp.where((dv < 0) & (mask > 0), -t * v / (dv - 1e-30), 1.0)
             return jnp.clip(jnp.min(ratio, axis=(0, 1)), 0.0, 1.0)  # [L]
 
-        # predictor
-        dz_a, ds_l_a, ds_u_a, dl_l_a, dl_u_a = linear_solve(
-            (-s_l * lam_l) * ml, (-s_u * lam_u) * mu_mask
-        )
-        apa = jnp.minimum(ftb(s_l, ds_l_a, ml, 1.0), ftb(s_u, ds_u_a, mu_mask, 1.0))
-        ada = jnp.minimum(ftb(lam_l, dl_l_a, ml, 1.0), ftb(lam_u, dl_u_a, mu_mask, 1.0))
-        mu_aff = (
-            jnp.sum((s_l + apa * ds_l_a) * (lam_l + ada * dl_l_a) * ml, axis=(0, 1))
-            + jnp.sum((s_u + apa * ds_u_a) * (lam_u + ada * dl_u_a) * mu_mask, axis=(0, 1))
-        ) / n_active
-        sigma = jnp.clip((mu_aff / (mu + 1e-30)) ** 3, 0.0, 1.0)
+        if mehrotra:
+            # predictor
+            dz_a, ds_l_a, ds_u_a, dl_l_a, dl_u_a = linear_solve(
+                (-s_l * lam_l) * ml, (-s_u * lam_u) * mu_mask
+            )
+            apa = jnp.minimum(ftb(s_l, ds_l_a, ml, 1.0), ftb(s_u, ds_u_a, mu_mask, 1.0))
+            ada = jnp.minimum(ftb(lam_l, dl_l_a, ml, 1.0), ftb(lam_u, dl_u_a, mu_mask, 1.0))
+            mu_aff = (
+                jnp.sum((s_l + apa * ds_l_a) * (lam_l + ada * dl_l_a) * ml, axis=(0, 1))
+                + jnp.sum((s_u + apa * ds_u_a) * (lam_u + ada * dl_u_a) * mu_mask, axis=(0, 1))
+            ) / n_active
+            sigma = jnp.clip((mu_aff / (mu + 1e-30)) ** 3, 0.0, 1.0)
 
-        # corrector
-        smu = _ed(_ed(sigma * mu, 0), 0)
-        dz, ds_l, ds_u, dl_l, dl_u = linear_solve(
-            (smu - s_l * lam_l - ds_l_a * dl_l_a) * ml,
-            (smu - s_u * lam_u - ds_u_a * dl_u_a) * mu_mask,
-        )
+            # corrector
+            smu = _ed(_ed(sigma * mu, 0), 0)
+            dz, ds_l, ds_u, dl_l, dl_u = linear_solve(
+                (smu - s_l * lam_l - ds_l_a * dl_l_a) * ml,
+                (smu - s_u * lam_u - ds_u_a * dl_u_a) * mu_mask,
+            )
+        else:
+            # plain path-following: single centered Newton step (warm QPs
+            # start near the central path; the adaptive Mehrotra centering
+            # isn't worth a second backward/forward substitution sweep)
+            smu = _ed(_ed(sigma_fixed * mu, 0), 0)
+            dz, ds_l, ds_u, dl_l, dl_u = linear_solve(
+                (smu - s_l * lam_l) * ml,
+                (smu - s_u * lam_u) * mu_mask,
+            )
         a_p = jnp.minimum(ftb(s_l, ds_l, ml, tau), ftb(s_u, ds_u, mu_mask, tau))
         a_d = jnp.minimum(ftb(lam_l, dl_l, ml, tau), ftb(lam_u, dl_u, mu_mask, tau))
 
@@ -322,6 +326,8 @@ def _qp_kernel(
         a_d = _ed(_ed(jnp.where(bad | ~finite_step, 0.0, a_d), 0), 0)
 
         zeta_ref[...] = zeta + a_p * dz
+        # e_ref holds the (final) corrector's D dz from ddz_body
+        ecar_ref[...] = e + a_p * e_ref[...]
         s_l_ref[...] = jnp.where(ml > 0, jnp.maximum(s_l + a_p * ds_l, _S_MIN), 1.0)
         s_u_ref[...] = jnp.where(mu_mask > 0, jnp.maximum(s_u + a_p * ds_u, _S_MIN), 1.0)
         lam_l_ref[...] = jnp.where(ml > 0, jnp.clip(lam_l + a_d * dl_l, 0.0, _W_MAX), 0.0)
@@ -366,6 +372,8 @@ def solve_qp_pallas(
     tau: float = 0.995,
     warm_duals=None,  # (lam_l [B,N+1,nrows], lam_u, ok [B])
     interpret: bool = False,
+    mehrotra: bool = True,
+    sigma_fixed: float = 0.1,
 ) -> PallasQPResult:
     """Batched QP solve via the fused kernel. B is padded to LANES."""
     B = qp.H.shape[0]
@@ -413,6 +421,7 @@ def solve_qp_pallas(
         _qp_kernel,
         N=N, nu=nu, nx=nx, nvar=nvar, nrows=nrows, nh=nh,
         iterations=iterations, mu0=mu0, reg=reg, tau=tau, use_warm=use_warm,
+        mehrotra=mehrotra, sigma_fixed=sigma_fixed,
     )
 
     out_shapes = (
@@ -438,6 +447,7 @@ def solve_qp_pallas(
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e / Ddz
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # coef
             pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_stat
+            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e carry (D zeta)
     ]
 
     call = pl.pallas_call(

@@ -103,6 +103,9 @@ class SQPSolver:
         # cycle time on TPU, convergence only masks the update.
         self.solver_type = getattr(cfg.solver, "solver_type", "SQP_RTI")
         self.tol_stat = cfg.solver.tol_stationarity
+        self.warm_corrector_only = bool(
+            getattr(cfg.solver, "qp_warm_corrector_only", True))
+        self.warm_sigma = float(getattr(cfg.solver, "qp_warm_sigma", 0.1))
 
         N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
         self.nrows = nu + nx + nh
@@ -335,9 +338,12 @@ class SQPSolver:
 
         it0 = self.qp_iterations if warm0 is None else max(
             6, self.qp_iterations * 2 // 3)
+        warm_mehrotra = not self.warm_corrector_only
         qp0 = self._linearize(Z0, P)
         sol0 = solve_qp(qp0, nu, nx, iterations=it0,
-                        mu0=self.mu0, mu_min=self.mu_min, warm_duals=warm0)
+                        mu0=self.mu0, mu_min=self.mu_min, warm_duals=warm0,
+                        mehrotra=(warm0 is None) or warm_mehrotra,
+                        sigma_fixed=self.warm_sigma)
         Z1 = Z0 + sol0.dz  # FIXED_STEP globalization
         done1 = jnp.max(jnp.abs(sol0.dz)) < self.tol_stat
         if num_iterations == 1:
@@ -355,6 +361,8 @@ class SQPSolver:
                     mu0=self.mu0,
                     mu_min=self.mu_min,
                     warm_duals=(lam_l, lam_u, mu_prev < 1e-2),
+                    mehrotra=warm_mehrotra,
+                    sigma_fixed=self.warm_sigma,
                 )
                 if sqp_mode:
                     Z_new = jnp.where(done, Z, Z + sol.dz)
@@ -423,9 +431,12 @@ class SQPSolver:
 
             it0 = self.qp_iterations if warm0 is None else max(
                 6, self.qp_iterations * 2 // 3)
+            warm_mehrotra = not self.warm_corrector_only
             qp0 = lin(Z0, P)
             sol0 = solve_qp_pallas(
-                qp0, nu, nx, iterations=it0, mu0=self.mu0, warm_duals=warm0
+                qp0, nu, nx, iterations=it0, mu0=self.mu0, warm_duals=warm0,
+                mehrotra=(warm0 is None) or warm_mehrotra,
+                sigma_fixed=self.warm_sigma,
             )
             Z1 = Z0 + sol0.dz
             done1 = jnp.max(jnp.abs(sol0.dz), axis=(1, 2)) < self.tol_stat  # [B]
@@ -442,6 +453,8 @@ class SQPSolver:
                     sol = solve_qp_pallas(
                         qp, nu, nx, iterations=warm_iters, mu0=self.mu0,
                         warm_duals=(ll, lu, mu < 1e-2),
+                        mehrotra=warm_mehrotra,
+                        sigma_fixed=self.warm_sigma,
                     )
                     if sqp_mode:
                         Z_new = jnp.where(done[:, None, None], Z, Z + sol.dz)
