@@ -126,8 +126,12 @@ def solve(prep: _Prep, g_bar, r_eq, B, nu: int, nx: int):
     eta_e = jnp.concatenate([-q_t, -g_bar[None, N, nu:]], axis=0)
     J_e = jnp.concatenate([prep.Q_t, prep.J_term[None]], axis=0)
 
+    # NOTE operand order: with reverse=True, associative_scan passes the
+    # LATER interval as the FIRST argument (empirically: a reverse scan
+    # with a@b yields M[n-1]@...@M[k], i.e. later elements on the left),
+    # so the earlier-first _combine must be called flipped.
     A_s, b_s, C_s, eta_s, J_s = jax.lax.associative_scan(
-        _combine, (A_e, b_e, C_e, eta_e, J_e), reverse=True
+        lambda a, b: _combine(b, a), (A_e, b_e, C_e, eta_e, J_e), reverse=True
     )
     # Inclusive reverse scan: entry k = combine(e_k, ..., e_N) = cost-to-go
     # at node k. Recovery at stage k needs the value at k+1.

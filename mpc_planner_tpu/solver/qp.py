@@ -272,17 +272,33 @@ def solve_qp(
             & jnp.all(jnp.isfinite(dlam_l))
             & jnp.all(jnp.isfinite(dlam_u))
         )
-        a_p = jnp.where(bad | ~finite_step, 0.0, a_p)
-        a_d = jnp.where(bad | ~finite_step, 0.0, a_d)
+        # Freeze by masking the UPDATE, not by zeroing the step size:
+        # 0.0 * NaN = NaN, so `a_p = 0` would still poison the iterate
+        # permanently when a non-finite direction appears.
+        frozen = bad | ~finite_step
+        a_p = jnp.where(frozen, 0.0, a_p)
+        a_d = jnp.where(frozen, 0.0, a_d)
 
-        zeta = zeta + a_p * dz
-        s_l = jnp.where(mask_l > 0, jnp.maximum(s_l + a_p * ds_l, _S_MIN), 1.0)
-        s_u = jnp.where(mask_u > 0, jnp.maximum(s_u + a_p * ds_u, _S_MIN), 1.0)
+        zeta = jnp.where(frozen, zeta, zeta + a_p * dz)
+        s_l = jnp.where(
+            mask_l > 0,
+            jnp.where(frozen, s_l, jnp.maximum(s_l + a_p * ds_l, _S_MIN)),
+            1.0,
+        )
+        s_u = jnp.where(
+            mask_u > 0,
+            jnp.where(frozen, s_u, jnp.maximum(s_u + a_p * ds_u, _S_MIN)),
+            1.0,
+        )
         lam_l = jnp.where(
-            mask_l > 0, jnp.clip(lam_l + a_d * dlam_l, 0.0, _W_MAX), 0.0
+            mask_l > 0,
+            jnp.where(frozen, lam_l, jnp.clip(lam_l + a_d * dlam_l, 0.0, _W_MAX)),
+            0.0,
         )
         lam_u = jnp.where(
-            mask_u > 0, jnp.clip(lam_u + a_d * dlam_u, 0.0, _W_MAX), 0.0
+            mask_u > 0,
+            jnp.where(frozen, lam_u, jnp.clip(lam_u + a_d * dlam_u, 0.0, _W_MAX)),
+            0.0,
         )
 
         return (zeta, s_l, s_u, lam_l, lam_u), a_p

@@ -70,7 +70,13 @@ class TMPCConfig:
     prm_seed: int = 1  # ref guidance_planner.yaml seed
     prm_max_velocity: float = 3.0  # edge velocity budget [m/s]
     prm_margin: float = 0.1  # extra clearance in collision checks [m]
-    prm_n_goals: int = 5  # lateral goal fan around the path end point
+    prm_n_goals: int = 5  # lateral goal fan per longitudinal station
+    # Longitudinal goal stations along the path (ref guidance_planner.yaml
+    # goals: longitudinal: 3 / vertical: 3 — a goal GRID, so a blocked
+    # far station still leaves reachable nearer goals).
+    prm_n_goals_longitudinal: int = 3
+    prm_goal_length_weight: float = 2.0  # shortfall penalty per meter (ref
+    #                                      selection_weights length)
 
 
 @dataclass(frozen=True)
@@ -124,13 +130,28 @@ class SolverConfig:
     levenberg_marquardt: float = 1e-6
     qp_mu0: float = 1e1
     qp_mu_min: float = 1e-10
-    # Warm-started QPs (RTI iterations >= 2 / cross-cycle duals) start
-    # near the central path; a single centered Newton step per IP
-    # iteration (corrector-only, fixed sigma) matches Mehrotra's accuracy
-    # there at ~60% of the sequential cost. Cold first QPs always use
-    # the full Mehrotra predictor-corrector.
-    qp_warm_corrector_only: bool = True
+    # OPT-IN speed/robustness trade: warm-started QPs (RTI iterations
+    # >= 2 / cross-cycle duals) drop Mehrotra's affine predictor and run
+    # a single centered Newton step per IP iteration at ~60% of the
+    # sequential cost. DEFAULT OFF: the flag is static per-trace, so
+    # batch elements whose warm duals are REJECTED (previous QP diverged
+    # — exactly the hard, constraint-flipping scenes) get a cold dual
+    # start on the cheap fixed-sigma path and lose the adaptive
+    # centering they need; in the SH-MPC closed-loop corridor this drove
+    # the robot backwards (tests/test_scenario.py::test_scenario_closed_
+    # loop). The reference never trades QP quality for time — it cuts
+    # RTI iterations instead (acados_solver_interface.cpp:108-116).
+    # Safe to enable for benign scenes after validating on
+    # divergence-recovery scenarios.
+    qp_warm_corrector_only: bool = False
     qp_warm_sigma: float = 0.1
+    # Swap the sequential Riccati sweeps for the associative-scan
+    # (parallel-in-horizon) LQR on the XLA path: O(log N) dependent
+    # combine rounds instead of O(N) stages. Worth it only for long
+    # horizons — measure with experiments/horizon_sweep.py. The Pallas
+    # kernel path ignores this flag (it carries its own sequential
+    # in-register recursion).
+    horizon_parallel: bool = False
     timeout_margin: float = 0.006  # [s] subtracted from budget (ref planner.cpp:117-118)
 
 

@@ -46,15 +46,21 @@ def _small_qp(cfg, rng):
     return model, qp
 
 
-def test_pallas_qp_matches_xla(cfg, rng):
+@pytest.mark.parametrize("mehrotra", [True, False])
+def test_pallas_qp_matches_xla(cfg, rng, mehrotra):
     from mpc_planner_tpu.ops import pallas_qp
 
     model, qp = _small_qp(cfg, rng)
     ITER = 8
     with jax.default_matmul_precision("highest"):
-        ref = jax.vmap(lambda d: solve_qp(d, model.nu, model.nx, iterations=ITER))(qp)
+        ref = jax.vmap(
+            lambda d: solve_qp(
+                d, model.nu, model.nx, iterations=ITER, mehrotra=mehrotra
+            )
+        )(qp)
         out = pallas_qp.solve_qp_pallas(
-            qp, model.nu, model.nx, iterations=ITER, interpret=True
+            qp, model.nu, model.nx, iterations=ITER, interpret=True,
+            mehrotra=mehrotra,
         )
     dz_ref = np.asarray(ref.dz)
     dz_pl = np.asarray(out.dz)
@@ -66,7 +72,8 @@ def test_pallas_qp_matches_xla(cfg, rng):
     assert np.abs(ll_ref - ll_pl).max() / (np.abs(ll_ref).max() + 1e-9) < 5e-3
 
 
-def test_pallas_qp_warm_duals(cfg, rng):
+@pytest.mark.parametrize("mehrotra", [True, False])
+def test_pallas_qp_warm_duals(cfg, rng, mehrotra):
     from mpc_planner_tpu.ops import pallas_qp
 
     model, qp = _small_qp(cfg, rng)
@@ -80,11 +87,12 @@ def test_pallas_qp_warm_duals(cfg, rng):
         warm = pallas_qp.solve_qp_pallas(
             qp, model.nu, model.nx, iterations=ITER,
             warm_duals=(first.lam_l, first.lam_u, ok), interpret=True,
+            mehrotra=mehrotra,
         )
         ref = jax.vmap(
             lambda d, wl, wu: solve_qp(
                 d, model.nu, model.nx, iterations=ITER,
-                warm_duals=(wl, wu, jnp.asarray(True)),
+                warm_duals=(wl, wu, jnp.asarray(True)), mehrotra=mehrotra,
             )
         )(qp, first.lam_l, first.lam_u)
     assert (
