@@ -54,7 +54,9 @@ class VisibilityPRMPlanner(GuidancePlanner):
         self.seed = getattr(t, "prm_seed", 1)
         self.v_max = getattr(t, "prm_max_velocity", 3.0)
         self.margin = getattr(t, "prm_margin", 0.1)
-        self.n_goals = getattr(t, "prm_n_goals", 5)
+        self.n_goals = getattr(t, "prm_n_goals", 5)  # lateral fan size
+        self.n_goals_long = getattr(t, "prm_n_goals_longitudinal", 3)
+        self.goal_length_weight = getattr(t, "prm_goal_length_weight", 2.0)
         # Per-node label cap: best-cost paths per distinct winding key
         self._labels_per_node = max(8, 3 * self.n_paths)
 
@@ -86,20 +88,33 @@ class VisibilityPRMPlanner(GuidancePlanner):
             0.0, path.length,
         )
 
-        # Goal set: lateral fan around the nominal end point (the reference
-        # places longitudinal+lateral goal grids along the path,
-        # guidance_planner.yaml `goals`).
+        # Goal set: longitudinal x lateral grid along the path (ref
+        # guidance_planner.yaml `goals: longitudinal / vertical` — the
+        # reference places goal stations AT several path stations, each
+        # with a lateral fan). Nearer stations carry a shortfall penalty
+        # (ref selection_weights `length`) so far goals win when
+        # reachable but a blocked corridor still yields plans.
         s_goal = float(s_prof[-1])
-        g_center = path.at(np.array([s_goal]))[0]
-        tangent = path.deriv(np.array([s_goal]))[0]
-        tangent = tangent / (np.linalg.norm(tangent) + 1e-12)
-        normal = np.array([-tangent[1], tangent[0]])
         half_width = max(cfg.road.width / 2.0 - cfg.robot_radius, 0.5)
         lat_offsets = (
             np.linspace(-half_width, half_width, self.n_goals)
             if self.n_goals > 1 else np.zeros(1)
         )
-        goals = g_center[None, :] + lat_offsets[:, None] * normal[None, :]
+        long_step = max(1.0, (s_goal - s0) / max(2 * self.n_goals_long, 1))
+        goal_list, penalty_list = [], []
+        for j in range(self.n_goals_long):
+            s_g = max(s0 + 0.5, s_goal - j * long_step)
+            g_center = path.at(np.array([s_g]))[0]
+            tangent = path.deriv(np.array([s_g]))[0]
+            tangent = tangent / (np.linalg.norm(tangent) + 1e-12)
+            normal = np.array([-tangent[1], tangent[0]])
+            goal_list.append(
+                g_center[None, :] + lat_offsets[:, None] * normal[None, :]
+            )
+            penalty_list.extend([self.goal_length_weight * (s_goal - s_g)]
+                                * len(lat_offsets))
+        goals = np.concatenate(goal_list, axis=0)
+        goal_penalty = np.asarray(penalty_list)
 
         # -- sample nodes in the space-time ROI ------------------------------
         lo = np.minimum(start, goals.min(axis=0)) - half_width - 1.0
@@ -117,7 +132,8 @@ class VisibilityPRMPlanner(GuidancePlanner):
         tk = np.concatenate([[0], kk, np.full(len(goals), N)]).astype(int)
 
         # -- search: native C++ core when available, vectorized numpy else ---
-        candidates = self._search(pos, tk, len(goals), pred, clear, dt)
+        candidates = self._search(pos, tk, len(goals), pred, clear, dt,
+                                  goal_penalty)
 
         trajectories: List[GuidanceTrajectory] = []
         seen_signatures = set()
@@ -182,20 +198,25 @@ class VisibilityPRMPlanner(GuidancePlanner):
         out.previously_selected = traj.previously_selected
         return out
 
-    def _search(self, pos, tk, n_goals: int, pred, clear, dt: float):
+    def _search(self, pos, tk, n_goals: int, pred, clear, dt: float,
+                goal_cost=None):
         """Up to 3*n_paths cost-ordered, homology-distinct node chains from
-        node 0 to any goal (the last n_goals nodes)."""
+        node 0 to any goal (the last n_goals nodes). `goal_cost` is a
+        per-goal additive penalty applied BEFORE the class dedup (so each
+        homology class keeps its preferred goal station)."""
         max_out = 3 * self.n_paths
         from mpc_planner_tpu import native
 
         result = native.prm_search(pos, tk, n_goals, pred, clear, dt,
-                                   self.v_max, self._labels_per_node, max_out)
+                                   self.v_max, self._labels_per_node, max_out,
+                                   goal_cost=goal_cost)
         if result is not None:
             return result
-        return self._search_numpy(pos, tk, n_goals, pred, clear, dt, max_out)
+        return self._search_numpy(pos, tk, n_goals, pred, clear, dt, max_out,
+                                  goal_cost)
 
     def _search_numpy(self, pos, tk, n_goals: int, pred, clear, dt: float,
-                      max_out: int):
+                      max_out: int, goal_cost=None):
         """Pure-numpy fallback of the native prm_search (same contract)."""
         n = len(pos)
         N = pred.shape[1] - 1
@@ -263,10 +284,12 @@ class VisibilityPRMPlanner(GuidancePlanner):
                         labels[j][key_new] = (c_new, w_new, i, key)
 
         # -- extract cost-ordered, homology-distinct goal chains --------------
+        gcost = (np.zeros(n_goals) if goal_cost is None
+                 else np.asarray(goal_cost, float))
         raw = []
-        for g in goal_ids:
+        for gi, g in enumerate(goal_ids):
             for key, (cost, wind, parent, pkey) in labels[g].items():
-                raw.append((cost, g, key))
+                raw.append((cost + gcost[gi], g, key))
         raw.sort(key=lambda c: c[0])
 
         out = []
@@ -295,21 +318,24 @@ class VisibilityPRMPlanner(GuidancePlanner):
 
     @staticmethod
     def _resample(node_path: List[int], pos, tk, N: int) -> np.ndarray:
-        """Node chain -> positions at every integer stage 0..N, smoothed."""
+        """Node chain -> positions at every integer stage 0..N via a
+        natural cubic spline through the PRM nodes (the reference
+        spline-smooths selected paths, guidance_planner.yaml
+        `spline_optimization`; consumed by guidance_constraints.cpp:
+        390-414 as smoothed splines)."""
+        from mpc_planner_tpu.spline_fit import CubicSpline
+
         ts = tk[node_path].astype(float)
         xs = pos[node_path]
-        out = np.empty((N + 1, 2))
-        out[:, 0] = np.interp(np.arange(N + 1), ts, xs[:, 0])
-        out[:, 1] = np.interp(np.arange(N + 1), ts, xs[:, 1])
-        # Light smoothing (the reference fits cubic splines through the
-        # PRM nodes); keep the endpoints pinned.
-        kernel = np.array([0.25, 0.5, 0.25])
-        for _ in range(2):
-            sm = np.stack(
-                [np.convolve(np.pad(out[:, d], 1, mode="edge"), kernel, "valid")
-                 for d in range(2)], axis=-1)
-            sm[0], sm[-1] = out[0], out[-1]
-            out = sm
+        stages = np.clip(np.arange(N + 1, dtype=float), ts[0], ts[-1])
+        if len(node_path) >= 3:
+            out = np.stack(
+                [CubicSpline(ts, xs[:, d])(stages) for d in range(2)], axis=-1
+            )
+        else:  # two nodes: straight segment
+            out = np.stack(
+                [np.interp(stages, ts, xs[:, d]) for d in range(2)], axis=-1
+            )
         return out
 
     def _signature(self, positions, pred, radius

@@ -73,7 +73,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     c_i = ctypes.POINTER(ctypes.c_int64)
     lib.prm_search.restype = ctypes.c_int
     lib.prm_search.argtypes = [c_d, c_i, ctypes.c_int64, ctypes.c_int64,
-                               c_d, c_d, ctypes.c_int64, ctypes.c_int64,
+                               c_d, c_d, c_d, ctypes.c_int64, ctypes.c_int64,
                                ctypes.c_double, ctypes.c_double,
                                ctypes.c_int64, ctypes.c_int64,
                                c_i, c_d, c_i, c_i]
@@ -130,13 +130,15 @@ def dr_project(points, obstacles, radii, iters: int = 3) -> Optional[np.ndarray]
 
 
 def prm_search(pos, tk, n_goals: int, pred, clear, dt: float, v_max: float,
-               labels_per_node: int, max_out: int):
+               labels_per_node: int, max_out: int, goal_cost=None):
     """Space-time Visibility-PRM core (guidance/prm.py hot loop).
 
     pos [n, 2], tk [n] stage indices (node 0 = start, last n_goals nodes =
-    goals), pred [M, N+1, 2] obstacle tracks, clear [M] clearance radii.
-    Returns a list of (cost, node_index_chain) sorted by cost, homology-
-    key distinct — or None when the native library is unavailable.
+    goals), pred [M, N+1, 2] obstacle tracks, clear [M] clearance radii,
+    goal_cost [n_goals] optional additive per-goal penalty (applied before
+    the homology dedup). Returns a list of (cost, node_index_chain)
+    sorted by penalized cost, homology-key distinct — or None when the
+    native library is unavailable.
     """
     lib = get_lib()
     if lib is None:
@@ -145,6 +147,9 @@ def prm_search(pos, tk, n_goals: int, pred, clear, dt: float, v_max: float,
     tk = np.ascontiguousarray(tk, dtype=np.int64)
     pred = np.ascontiguousarray(pred, dtype=np.float64)
     clear = np.ascontiguousarray(clear, dtype=np.float64)
+    gc = np.ascontiguousarray(
+        np.zeros(n_goals) if goal_cost is None else goal_cost, dtype=np.float64
+    )
     n = pos.shape[0]
     out_count = np.zeros(1, dtype=np.int64)
     out_cost = np.empty(max_out, dtype=np.float64)
@@ -152,7 +157,7 @@ def prm_search(pos, tk, n_goals: int, pred, clear, dt: float, v_max: float,
     out_nodes = np.empty((max_out, n), dtype=np.int64)
     i_ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     rc = lib.prm_search(
-        _ptr(pos), i_ptr(tk), n, n_goals, _ptr(pred), _ptr(clear),
+        _ptr(pos), i_ptr(tk), n, n_goals, _ptr(gc), _ptr(pred), _ptr(clear),
         pred.shape[0], pred.shape[1], dt, v_max, labels_per_node, max_out,
         i_ptr(out_count), _ptr(out_cost), i_ptr(out_len), i_ptr(out_nodes),
     )

@@ -243,7 +243,8 @@ void free_polytope(double seed_x, double seed_y, const double* points,
 // (obstacle + robot + margin). Edge feasibility: required speed <= v_max
 // and clearance at every integer time slice along the segment.
 int prm_search(const double* pos, const int64_t* tk, int64_t n,
-               int64_t n_goals, const double* pred, const double* clear_r,
+               int64_t n_goals, const double* goal_cost, const double* pred,
+               const double* clear_r,
                int64_t M, int64_t Np1, double dt, double v_max,
                int64_t labels_per_node, int64_t max_out, int64_t* out_count,
                double* out_cost, int64_t* out_len, int64_t* out_nodes) {
@@ -376,10 +377,16 @@ int prm_search(const double* pos, const int64_t* tk, int64_t n,
   }
 
   // --- collect goal labels, cost-ordered, key-distinct ---------------------
+  // goal_cost: optional per-goal additive penalty (longitudinal shortfall
+  // of nearer goal stations) applied BEFORE the homology-class dedup so
+  // the preferred goal of each class survives.
   std::vector<std::pair<double, int32_t>> cands;
   std::map<std::vector<int8_t>, char> seen;
-  for (int64_t g = n - n_goals; g < n; ++g)
-    for (auto& kv : node_labels[g]) cands.push_back({labels[kv.second].cost, kv.second});
+  for (int64_t g = n - n_goals; g < n; ++g) {
+    const double gc = goal_cost ? goal_cost[g - (n - n_goals)] : 0.0;
+    for (auto& kv : node_labels[g])
+      cands.push_back({labels[kv.second].cost + gc, kv.second});
+  }
   std::sort(cands.begin(), cands.end());
 
   int64_t count = 0;
