@@ -104,8 +104,13 @@ class SQPSolver:
         self.solver_type = getattr(cfg.solver, "solver_type", "SQP_RTI")
         self.tol_stat = cfg.solver.tol_stationarity
         self.warm_corrector_only = bool(
-            getattr(cfg.solver, "qp_warm_corrector_only", True))
+            getattr(cfg.solver, "qp_warm_corrector_only", False))
         self.warm_sigma = float(getattr(cfg.solver, "qp_warm_sigma", 0.1))
+        # Parallel-in-horizon Riccati (associative scan) — XLA path only;
+        # the fused Pallas kernel keeps the sequential sweeps (measured
+        # crossover in experiments/horizon_sweep.py).
+        self.horizon_parallel = bool(
+            getattr(cfg.solver, "horizon_parallel", False))
 
         N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
         self.nrows = nu + nx + nh
@@ -343,7 +348,8 @@ class SQPSolver:
         sol0 = solve_qp(qp0, nu, nx, iterations=it0,
                         mu0=self.mu0, mu_min=self.mu_min, warm_duals=warm0,
                         mehrotra=(warm0 is None) or warm_mehrotra,
-                        sigma_fixed=self.warm_sigma)
+                        sigma_fixed=self.warm_sigma,
+                        horizon_parallel=self.horizon_parallel)
         Z1 = Z0 + sol0.dz  # FIXED_STEP globalization
         done1 = jnp.max(jnp.abs(sol0.dz)) < self.tol_stat
         if num_iterations == 1:
@@ -363,6 +369,7 @@ class SQPSolver:
                     warm_duals=(lam_l, lam_u, mu_prev < 1e-2),
                     mehrotra=warm_mehrotra,
                     sigma_fixed=self.warm_sigma,
+                    horizon_parallel=self.horizon_parallel,
                 )
                 if sqp_mode:
                     Z_new = jnp.where(done, Z, Z + sol.dz)
