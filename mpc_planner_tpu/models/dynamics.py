@@ -20,6 +20,8 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+
+from mpc_planner_tpu.utils.math import atan2
 import numpy as np
 
 
@@ -233,7 +235,7 @@ def _curvature_aware_spline_update(model, z, x_int, p, ocp):
     R = 1.0 / jnp.maximum(path.get_curvature(s), 1e-10)
     R = jnp.maximum(R, 1e5)  # ref solver_model.py:266 (cd.fmax(R, 1e5))
 
-    theta = jnp.arctan2(vt, R - contour_error - vn)
+    theta = atan2(vt, R - contour_error - vn)
     s_next = s + R * theta
     return jnp.concatenate([x_int, s_next[..., None]], axis=-1)
 

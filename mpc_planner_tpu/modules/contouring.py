@@ -15,7 +15,7 @@ from mpc_planner_tpu.modules.base import BoundModel, ObjectiveModule
 from mpc_planner_tpu.parameters import ParameterBlock, ParameterRegistry
 from mpc_planner_tpu.spline_fit import PathSpline2D
 from mpc_planner_tpu.splines import Spline, Spline2D
-from mpc_planner_tpu.utils.math import haar_difference_without_abs
+from mpc_planner_tpu.utils.math import atan2, haar_difference_without_abs
 
 
 class ContouringModule(ObjectiveModule):
@@ -80,7 +80,7 @@ class ContouringModule(ObjectiveModule):
             terminal_angle_weight = params.get("terminal_angle")
             terminal_contouring_mp = params.get("terminal_contouring")
 
-            path_angle = jnp.arctan2(dyn, dxn)
+            path_angle = atan2(dyn, dxn)
             angle_error = haar_difference_without_abs(psi, path_angle)
 
             total = total + terminal_angle_weight * angle_error**2

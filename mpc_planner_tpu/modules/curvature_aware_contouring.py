@@ -14,7 +14,7 @@ from mpc_planner_tpu.modules.base import BoundModel
 from mpc_planner_tpu.modules.contouring import ContouringModule
 from mpc_planner_tpu.parameters import ParameterBlock, ParameterRegistry
 from mpc_planner_tpu.splines import Spline, Spline2D
-from mpc_planner_tpu.utils.math import haar_difference_without_abs
+from mpc_planner_tpu.utils.math import atan2, haar_difference_without_abs
 
 
 class CurvatureAwareContouringModule(ContouringModule):
@@ -51,7 +51,7 @@ class CurvatureAwareContouringModule(ContouringModule):
         if stage_idx == cfg.N - 1 or stage_idx == cfg.N:
             terminal_angle_weight = params.get("terminal_angle")
             terminal_contouring_mp = params.get("terminal_contouring")
-            path_angle = jnp.arctan2(dyn, dxn)
+            path_angle = atan2(dyn, dxn)
             angle_error = haar_difference_without_abs(psi, path_angle)
             total = total + terminal_angle_weight * angle_error**2
             total = total + terminal_contouring_mp * contour_weight * contour_error_squared

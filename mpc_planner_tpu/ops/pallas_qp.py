@@ -65,6 +65,93 @@ def _transpose(a):
     return jnp.swapaxes(a, 0, 1)
 
 
+def _mirror_lanes(H, lm: float, sweeps: int = 6):
+    """MIRROR (eigenvalues -> max(|w|, lm)) of H [..., n, n, L] via
+    element-unpacked cyclic Jacobi — identical arithmetic to
+    ops/jacobi_eigh.py::mirror_unpacked, with matrix elements as
+    [..., L] lane vectors so each rotation is elementwise VPU work.
+
+    The sweep loop is a `fori_loop` with the n*n elements of (A, V) as
+    the carry pytree: one traced sweep keeps the kernel graph ~6x
+    smaller than full unrolling (which OOM-killed the TPU compiler when
+    embedded in a larger kernel). Carried elements must be >= 2-D
+    ([stages, L]) — rank-1 loop carries trip a Mosaic layout assertion."""
+    n = H.shape[-3]
+    a0 = []
+    for i in range(n):
+        for j in range(n):
+            a0.append(0.5 * (H[..., i, j, :] + H[..., j, i, :]))
+    one = jnp.ones_like(a0[0])
+    zero = jnp.zeros_like(a0[0])
+    v0 = [one if i == j else zero for i in range(n) for j in range(n)]
+
+    def sweep(_, carry):
+        a, v = list(carry[0]), list(carry[1])
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq, app, aqq = a[p * n + q], a[p * n + p], a[q * n + q]
+                denom = jnp.where(jnp.abs(apq) > 1e-30, apq, 1e-30)
+                theta = (aqq - app) / (2.0 * denom)
+                sign = jnp.where(theta >= 0, 1.0, -1.0)
+                t = sign / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
+                t = jnp.where(jnp.abs(apq) > 1e-30, t, 0.0)
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s = t * c
+                for k in range(n):
+                    akp, akq = a[p * n + k], a[q * n + k]
+                    a[p * n + k] = c * akp - s * akq
+                    a[q * n + k] = s * akp + c * akq
+                for k in range(n):
+                    akp, akq = a[k * n + p], a[k * n + q]
+                    a[k * n + p] = c * akp - s * akq
+                    a[k * n + q] = s * akp + c * akq
+                a[p * n + q] = jnp.zeros_like(apq)
+                a[q * n + p] = jnp.zeros_like(apq)
+                for k in range(n):
+                    vkp, vkq = v[k * n + p], v[k * n + q]
+                    v[k * n + p] = c * vkp - s * vkq
+                    v[k * n + q] = s * vkp + c * vkq
+        return (tuple(a), tuple(v))
+
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (tuple(a0), tuple(v0)))
+    w = [jnp.maximum(jnp.abs(a[d * n + d]), lm) for d in range(n)]
+    rows = []
+    for i in range(n):
+        row = []
+        for k in range(n):
+            acc = v[i * n] * w[0] * v[k * n]
+            for j in range(1, n):
+                acc = acc + v[i * n + j] * w[j] * v[k * n + j]
+            row.append(acc)
+        rows.append(jnp.stack(row, axis=-2))
+    return jnp.stack(rows, axis=-3)
+
+
+def _mirror_nvar_lanes(H, lm: float, nu: int, nx: int, x_only: bool):
+    """MIRROR a [..., nvar, nvar, L] stage-Hessian stack, exploiting the
+    u-separable block structure when detected (solver/sqp.py::
+    _probe_u_separable): mirror(blkdiag(D, Hxx)) =
+    blkdiag(max(|D|, lm), mirror(Hxx))."""
+    if not x_only:
+        return _mirror_lanes(H, lm)
+    nvar = nu + nx
+    Hxx = _mirror_lanes(H[..., nu:, nu:, :], lm)
+    zero = jnp.zeros_like(H[..., 0, 0, :])
+    rows = []
+    for i in range(nvar):
+        row = []
+        for j in range(nvar):
+            if i < nu or j < nu:
+                if i == j:
+                    row.append(jnp.maximum(jnp.abs(H[..., i, i, :]), lm))
+                else:
+                    row.append(zero)
+            else:
+                row.append(Hxx[..., i - nu, j - nu, :])
+        rows.append(jnp.stack(row, axis=-2))
+    return jnp.stack(rows, axis=-3)
+
+
 def _sym_inv(M, n: int):
     """Closed-form inverse of a symmetric [n, n, L] matrix, n in 1..3."""
     if n == 1:
@@ -94,28 +181,37 @@ def _sym_inv(M, n: int):
     raise NotImplementedError(f"sym_inv for n={n}")
 
 
-def _qp_kernel(
-    # inputs (VMEM refs, one batch block on the lanes)
-    H_ref, g_ref, A_ref, B_ref, c_ref, Dh_ref, lb_ref, ub_ref,
-    wl_ref, wu_ref, wok_ref,
-    # outputs
-    dz_ref, lam_l_ref, lam_u_ref, mu_out_ref,
-    # scratch
-    s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref, kff_ref, dzt_ref,
-    w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref, ecar_ref,
+def _ip_solve(
+    # dynamically-indexed data refs (Mosaic: dynamic_slice is ref-only)
+    H_ref, A_ref, B_ref, Dh_ref,
+    # data values
+    g, c, lb, ub,
+    # warm duals: None or (wl [N+1, nrows, L], wu, ok [L] bool)
+    warm,
+    # scratch refs (persist across calls within one kernel; re-initialized)
+    s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref, kff_ref,
+    dzt_ref, w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref, ecar_ref,
+    lam_l_ref, lam_u_ref,
     *, N: int, nu: int, nx: int, nvar: int, nrows: int, nh: int,
-    iterations: int, mu0: float, reg: float, tau: float, use_warm: bool,
+    iterations: int, mu0: float, reg: float, tau: float,
     mehrotra: bool, sigma_fixed: float,
 ):
-    # Row layout per stage: [u-box, x-box, h]. The box rows' Jacobian is
-    # the identity over z (nu + nx == nvar), so only the nh general rows
-    # carry a stored Jacobian (Dh_ref) — the box rows contribute
-    # analytically (diagonal adds / direct slices). The row masks are
-    # derived from the +-1e15 bound sentinels the caller folds in
-    # (saves two full [N+1, nrows, LANES] VMEM inputs).
+    """Full Mehrotra predictor-corrector IPM on one lane block, in-kernel.
+
+    Shared between the standalone QP kernel (`_qp_kernel`) and the fused
+    SQP-RTI kernel (ops/pallas_rti.py), which calls it once per RTI
+    iteration with freshly linearized data. On return, `zeta_ref` holds
+    the primal step dz and `lam_l_ref`/`lam_u_ref` the final duals;
+    returns the final complementarity mu [L].
+
+    Row layout per stage: [u-box, x-box, h]. The box rows' Jacobian is
+    the identity over z (nu + nx == nvar), so only the nh general rows
+    carry a stored Jacobian (Dh_ref) — the box rows contribute
+    analytically (diagonal adds / direct slices). The row masks are
+    derived from the +-1e15 bound sentinels the caller folds in
+    (saves two full [N+1, nrows, LANES] VMEM inputs).
+    """
     f32 = jnp.float32
-    lb = lb_ref[...]
-    ub = ub_ref[...]
     ml = (lb > -1e14).astype(f32)
     mu_mask = (ub < 1e14).astype(f32)
     n_active = jnp.maximum(jnp.sum(ml, axis=(0, 1)) + jnp.sum(mu_mask, axis=(0, 1)), 1.0)  # [L]
@@ -127,16 +223,17 @@ def _qp_kernel(
     s_u_ref[...] = s_u0
     lam_l_cold = jnp.where(ml > 0, mu0 / s_l0, 0.0)
     lam_u_cold = jnp.where(mu_mask > 0, mu0 / s_u0, 0.0)
-    if use_warm:
-        ok = _ed(_ed(wok_ref[0, :] > 0, 0), 0)  # [1, 1, L]
+    if warm is not None:
+        wl, wu, wok = warm
+        ok = _ed(_ed(wok, 0), 0)  # [1, 1, L]
         lam_l_ref[...] = jnp.where(
             ml > 0,
-            jnp.where(ok, jnp.clip(wl_ref[...], 1e-8, _W_MAX), lam_l_cold),
+            jnp.where(ok, jnp.clip(wl, 1e-8, _W_MAX), lam_l_cold),
             0.0,
         )
         lam_u_ref[...] = jnp.where(
             mu_mask > 0,
-            jnp.where(ok, jnp.clip(wu_ref[...], 1e-8, _W_MAX), lam_u_cold),
+            jnp.where(ok, jnp.clip(wu, 1e-8, _W_MAX), lam_u_cold),
             0.0,
         )
     else:
@@ -209,11 +306,11 @@ def _qp_kernel(
         req_ref[...] = (
             jnp.sum(A_ref[...] * _ed(zx, 1), axis=2)
             + jnp.sum(B_ref[...] * _ed(zu, 1), axis=2)
-            + c_ref[...]
+            + c
             - zeta[1:, nu:]
         )  # [N, nx, L]
 
-        gst_ref[...] = g_ref[...] + jnp.sum(
+        gst_ref[...] = g + jnp.sum(
             H_ref[...] * _ed(zeta, 1), axis=2
         )  # [N+1, nvar, L]
 
@@ -322,12 +419,23 @@ def _qp_kernel(
             & jnp.all(jnp.isfinite(dl_l), axis=(0, 1))
             & jnp.all(jnp.isfinite(dl_u), axis=(0, 1))
         )
+        # Freeze by sanitizing the DIRECTION, not just zeroing the step
+        # size: 0.0 * NaN = NaN, so `a_p = 0` alone would still poison
+        # the iterate permanently on a non-finite direction (same guard
+        # as solver/qp.py's XLA path).
+        frz = _ed(_ed(bad | ~finite_step, 0), 0)  # [1, 1, L]
+        dz = jnp.where(frz, 0.0, dz)
+        ds_l = jnp.where(frz, 0.0, ds_l)
+        ds_u = jnp.where(frz, 0.0, ds_u)
+        dl_l = jnp.where(frz, 0.0, dl_l)
+        dl_u = jnp.where(frz, 0.0, dl_u)
+        Ddz_s = jnp.where(frz, 0.0, e_ref[...])
         a_p = _ed(_ed(jnp.where(bad | ~finite_step, 0.0, a_p), 0), 0)
         a_d = _ed(_ed(jnp.where(bad | ~finite_step, 0.0, a_d), 0), 0)
 
         zeta_ref[...] = zeta + a_p * dz
-        # e_ref holds the (final) corrector's D dz from ddz_body
-        ecar_ref[...] = e + a_p * e_ref[...]
+        # Ddz_s is the (final) corrector's D dz from ddz_body, sanitized
+        ecar_ref[...] = e + a_p * Ddz_s
         s_l_ref[...] = jnp.where(ml > 0, jnp.maximum(s_l + a_p * ds_l, _S_MIN), 1.0)
         s_u_ref[...] = jnp.where(mu_mask > 0, jnp.maximum(s_u + a_p * ds_u, _S_MIN), 1.0)
         lam_l_ref[...] = jnp.where(ml > 0, jnp.clip(lam_l + a_d * dl_l, 0.0, _W_MAX), 0.0)
@@ -335,15 +443,51 @@ def _qp_kernel(
         return mu_prev_unused
 
     jax.lax.fori_loop(0, iterations, ip_body, jnp.float32(0.0))
-    dz_ref[...] = zeta_ref[...]
-    mu_out_ref[...] = _ed(
-        (
-            jnp.sum(s_l_ref[...] * lam_l_ref[...] * ml, axis=(0, 1))
-            + jnp.sum(s_u_ref[...] * lam_u_ref[...] * mu_mask, axis=(0, 1))
-        )
-        / n_active,
-        0,
+    return (
+        jnp.sum(s_l_ref[...] * lam_l_ref[...] * ml, axis=(0, 1))
+        + jnp.sum(s_u_ref[...] * lam_u_ref[...] * mu_mask, axis=(0, 1))
+    ) / n_active
+
+
+def _qp_kernel(
+    # inputs (VMEM refs, one batch block on the lanes)
+    H_ref, g_ref, A_ref, B_ref, c_ref, Dh_ref, lb_ref, ub_ref,
+    wl_ref, wu_ref, wok_ref,
+    # outputs
+    dz_ref, lam_l_ref, lam_u_ref, mu_out_ref,
+    # scratch
+    s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref, kff_ref, dzt_ref,
+    w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref, ecar_ref, Hm_ref,
+    *, N: int, nu: int, nx: int, nvar: int, nrows: int, nh: int,
+    iterations: int, mu0: float, reg: float, tau: float, use_warm: bool,
+    mehrotra: bool, sigma_fixed: float,
+    mirror_in_kernel: bool, lm: float, mirror_x_only: bool,
+):
+    if mirror_in_kernel:
+        # H arrives RAW (exact stage Hessians); apply the MIRROR
+        # regularization here instead of in an XLA segment before the
+        # kernel — saves the per-RTI-iteration Jacobi pass + its HBM
+        # round trip (the in-kernel sweep is identical arithmetic to
+        # ops/jacobi_eigh.py::mirror_unpacked).
+        Hm_ref[...] = _mirror_nvar_lanes(H_ref[...], lm, nu, nx, mirror_x_only)
+        H_use = Hm_ref
+    else:
+        H_use = H_ref
+    warm = (
+        (wl_ref[...], wu_ref[...], wok_ref[0, :] > 0) if use_warm else None
     )
+    mu = _ip_solve(
+        H_use, A_ref, B_ref, Dh_ref,
+        g_ref[...], c_ref[...], lb_ref[...], ub_ref[...], warm,
+        s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref, kff_ref,
+        dzt_ref, w_ref, gb_ref, req_ref, e_ref, coef_ref, gst_ref, ecar_ref,
+        lam_l_ref, lam_u_ref,
+        N=N, nu=nu, nx=nx, nvar=nvar, nrows=nrows, nh=nh,
+        iterations=iterations, mu0=mu0, reg=reg, tau=tau,
+        mehrotra=mehrotra, sigma_fixed=sigma_fixed,
+    )
+    dz_ref[...] = zeta_ref[...]
+    mu_out_ref[...] = _ed(mu, 0)
 
 
 class PallasQPResult(NamedTuple):
@@ -374,6 +518,9 @@ def solve_qp_pallas(
     interpret: bool = False,
     mehrotra: bool = True,
     sigma_fixed: float = 0.1,
+    mirror_in_kernel: bool = False,  # H passed RAW; MIRROR applied in-kernel
+    lm: float = 1e-4,
+    mirror_x_only: bool = False,
 ) -> PallasQPResult:
     """Batched QP solve via the fused kernel. B is padded to LANES."""
     B = qp.H.shape[0]
@@ -422,6 +569,7 @@ def solve_qp_pallas(
         N=N, nu=nu, nx=nx, nvar=nvar, nrows=nrows, nh=nh,
         iterations=iterations, mu0=mu0, reg=reg, tau=tau, use_warm=use_warm,
         mehrotra=mehrotra, sigma_fixed=sigma_fixed,
+        mirror_in_kernel=mirror_in_kernel, lm=lm, mirror_x_only=mirror_x_only,
     )
 
     out_shapes = (
@@ -448,6 +596,11 @@ def solve_qp_pallas(
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # coef
             pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_stat
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e carry (D zeta)
+            # mirrored H (only written when mirror_in_kernel)
+            pltpu.VMEM(
+                (Np1, nvar, nvar, LANES) if mirror_in_kernel else (1, 1, 1, LANES),
+                jnp.float32,
+            ),
     ]
 
     call = pl.pallas_call(

@@ -47,9 +47,7 @@ def sharded_solve_fn(solver, mesh: Mesh, num_iterations: int, axis_name: str = "
     data_sharding = NamedSharding(mesh, P(axis_name))
 
     def solve(Z0, P_, xinit):
-        return jax.vmap(lambda z, p, x: solver._solve(z, p, x, num_iterations))(
-            Z0, P_, xinit
-        )
+        return solver.batch_impl(Z0, P_, xinit, num_iterations)
 
     return jax.jit(
         solve,

@@ -235,7 +235,9 @@ class Planner:
 
     def reset(self, state: Optional[State] = None, data: Optional[RealTimeData] = None) -> None:
         self.modules.reset_all()
-        self._Z[:] = 0.0
+        # _Z may be a read-only view of a device buffer after a solve
+        # (np.asarray of a jax array) — replace, don't mutate in place.
+        self._Z = np.zeros_like(self._Z)
         self._output = PlannerOutput(self.dt, self.N)
         self._was_reset = True
         if state is not None:

@@ -156,6 +156,67 @@ class SQPSolver:
             )
         self.qp_backend = backend
 
+        # Fused whole-RTI kernel (linearize + MIRROR + QPs in one Pallas
+        # launch per lane block, ops/pallas_rti.py). SQP mode needs the
+        # per-iteration convergence freeze, which stays on the unfused
+        # path.
+        fused = getattr(cfg.solver, "rti_fused", "auto")
+        fused_ok = (
+            self.qp_backend == "pallas"
+            and self.solver_type == "SQP_RTI"
+            # corrector-only warm QPs need a different mehrotra flag for
+            # the cold first QP than for warm ones — the unified in-kernel
+            # loop has one static flag, so that config stays unfused.
+            and not self.warm_corrector_only
+        )
+        if fused == "auto":
+            # auto resolves OFF until the fused kernel's Mosaic compile
+            # is stabilized at flagship shapes (docs/PERF_NOTES.md).
+            self.rti_fused = False
+        else:
+            self.rti_fused = (fused in ("on", True)) and fused_ok
+
+        # Bound templates for the fused kernel: per-(stage, row) bound
+        # values with +-1e15 sentinels where the row is inactive (u-box +
+        # h rows off at the terminal node, x-box off at stage 0,
+        # infinite bounds off everywhere) — the same masks _linearize
+        # builds, folded into constants so the kernel derives masks from
+        # a compare.
+        stage = np.arange(N + 1)
+        u_act = (stage < N)[:, None]
+        x_act = (stage > 0)[:, None]
+        box_act = np.concatenate(
+            [np.repeat(u_act, nu, 1), np.repeat(x_act, nx, 1)], axis=1
+        )
+        lb_T = np.where(box_act & np.isfinite(lbz)[None], lbz[None], -1e15)
+        ub_T = np.where(box_act & np.isfinite(ubz)[None], ubz[None], 1e15)
+        if nh:
+            h_act = (stage < N)[:, None]
+            lh = np.asarray(ocp.lh, dtype=float)
+            uh = np.asarray(ocp.uh, dtype=float)
+            lb_T = np.concatenate(
+                [lb_T, np.where(h_act & np.isfinite(lh)[None], lh[None], -1e15)],
+                axis=1,
+            )
+            ub_T = np.concatenate(
+                [ub_T, np.where(h_act & np.isfinite(uh)[None], uh[None], 1e15)],
+                axis=1,
+            )
+        self._lb_template = lb_T.astype(np.float32)
+        self._ub_template = ub_T.astype(np.float32)
+
+        # Pallas interpret mode (CPU tests drive the fused kernel this way)
+        self.interpret = False
+
+        # MIRROR inside the QP kernel (ops/pallas_qp.py): ship the RAW
+        # Hessian stack and run the Jacobi sweep in-kernel, dropping the
+        # XLA Jacobi pass + one HBM round trip from every RTI iteration.
+        mik = getattr(cfg.solver, "qp_mirror_in_kernel", "auto")
+        self.mirror_in_qp_kernel = (
+            self.qp_backend == "pallas"
+            if mik == "auto" else mik in ("on", True)
+        )
+
         # Compiled-function cache keyed by (num_iterations, batched): the
         # host-side timeout logic selects the iteration count per cycle and
         # every count it uses is compiled once (ref budget semantics,
@@ -418,21 +479,30 @@ class SQPSolver:
         with jax.default_matmul_precision("highest"):
             Z0 = Z0.at[:, 0, nu:].set(xinit)
 
+            mirror_in_kernel = self.mirror_in_qp_kernel
+
             def lin(Z, P_):
-                # Linearize without mirror, then mirror the whole [B*(N+1)]
-                # stack of stage Hessians with the element-unpacked Jacobi
-                # (~10x the .at[].set() Jacobi at B=1024; a fully fused
-                # Pallas mirror was faster still but miscompiled — see
-                # mirror_unpacked docstring). _mirror_nvar exploits the
-                # u-separable block structure when detected (5x5 Jacobi
-                # instead of 7x7). The terminal row's zero u-block mirrors
-                # to lm*I on the u-diagonal, which the QP's terminal stage
-                # never reads.
+                # Linearize without mirror. With mirror_in_qp_kernel the
+                # RAW Hessian stack ships to the kernel, which applies
+                # the MIRROR Jacobi itself (saves the XLA Jacobi pass +
+                # one HBM round trip per RTI iteration). Otherwise mirror
+                # the whole [B*(N+1)] stack here with the element-
+                # unpacked Jacobi (~10x the .at[].set() Jacobi at
+                # B=1024). _mirror_nvar exploits the u-separable block
+                # structure when detected (5x5 Jacobi instead of 7x7).
+                # The terminal row's zero u-block mirrors to lm*I on the
+                # u-diagonal, which the QP's terminal stage never reads.
                 qp = jax.vmap(lambda z, p: self._linearize(z, p, mirror=False))(Z, P_)
+                if mirror_in_kernel:
+                    return qp
                 Bb, Np1, nv, _ = qp.H.shape
                 H_m = self._mirror_nvar(qp.H.reshape(Bb * Np1, nv, nv))
                 return qp._replace(H=H_m.reshape(Bb, Np1, nv, nv))
 
+            mirror_kw = dict(
+                mirror_in_kernel=mirror_in_kernel, lm=self.lm,
+                mirror_x_only=self._mirror_x_only,
+            )
             sqp_mode = self.solver_type == "SQP"
             Bb = Z0.shape[0]
 
@@ -443,7 +513,7 @@ class SQPSolver:
             sol0 = solve_qp_pallas(
                 qp0, nu, nx, iterations=it0, mu0=self.mu0, warm_duals=warm0,
                 mehrotra=(warm0 is None) or warm_mehrotra,
-                sigma_fixed=self.warm_sigma,
+                sigma_fixed=self.warm_sigma, **mirror_kw,
             )
             Z1 = Z0 + sol0.dz
             done1 = jnp.max(jnp.abs(sol0.dz), axis=(1, 2)) < self.tol_stat  # [B]
@@ -461,7 +531,7 @@ class SQPSolver:
                         qp, nu, nx, iterations=warm_iters, mu0=self.mu0,
                         warm_duals=(ll, lu, mu < 1e-2),
                         mehrotra=warm_mehrotra,
-                        sigma_fixed=self.warm_sigma,
+                        sigma_fixed=self.warm_sigma, **mirror_kw,
                     )
                     if sqp_mode:
                         Z_new = jnp.where(done[:, None, None], Z, Z + sol.dz)
@@ -499,19 +569,89 @@ class SQPSolver:
                                res_eq=res_eq, qp_mu=mu_last, iters=iters,
                                lam_l=ll_fin, lam_u=lu_fin)
 
+    # -- fully fused batched solve (whole RTI loop in-kernel) -------------
+    def _solve_batch_fused(self, Z0, P, xinit, num_iterations: int, warm0=None):
+        """Whole-solve fused path: ops/pallas_rti.py runs linearization,
+        MIRROR and every QP inside one kernel launch per 128-lane block.
+        Same warm-start ladder as `_solve_batch_pallas`."""
+        from mpc_planner_tpu.ops.pallas_rti import solve_rti_pallas
+
+        ocp = self.ocp
+        nu, nx = ocp.nu, ocp.nx
+
+        with jax.default_matmul_precision("highest"):
+            Z0 = Z0.at[:, 0, nu:].set(xinit)
+            it0 = self.qp_iterations if warm0 is None else max(
+                6, self.qp_iterations * 2 // 3)
+            warm_iters = max(6, self.qp_iterations * 2 // 3)
+            res = solve_rti_pallas(
+                Z0, P,
+                dyn_fn=ocp.dynamics_fn, run_cost=ocp.running_cost,
+                term_cost=ocp.terminal_cost,
+                con_fn=ocp.constraint_fn if ocp.nh else None,
+                nu=nu, nx=nx, nh=ocp.nh,
+                lb_template=self._lb_template,
+                ub_template=self._ub_template,
+                num_iterations=num_iterations, it0=it0, warm_iters=warm_iters,
+                mu0=self.mu0, warm_duals=warm0,
+                mehrotra=True,
+                sigma_fixed=self.warm_sigma,
+                lm=self.lm, mirror_x_only=self._mirror_x_only,
+                interpret=self.interpret,
+            )
+            Z = res.Z
+            res_eq = jax.vmap(ocp.eq_residual)(Z, P)
+            pobj = jax.vmap(ocp.total_cost)(Z, P)
+            finite = (
+                jnp.isfinite(res_eq)
+                & jnp.isfinite(pobj)
+                & jnp.all(jnp.isfinite(Z), axis=(1, 2))
+            )
+            ok = finite & (res_eq <= self.tol_eq)
+            exit_code = jnp.where(ok, EXIT_SUCCESS, EXIT_FAILURE).astype(jnp.int32)
+            Bb = Z.shape[0]
+            return SolveResult(
+                Z=Z, exit_code=exit_code, pobj=pobj, res_eq=res_eq,
+                qp_mu=res.mu,
+                iters=jnp.full((Bb,), num_iterations, jnp.int32),
+                lam_l=res.lam_l, lam_u=res.lam_u,
+            )
+
+    def batch_impl(self, Z0, P, xinit, num_iterations: int, warm0=None):
+        """Traceable batched solve on the configured backend (no jit —
+        compose under your own jit/shardings, e.g. parallel/distributed
+        step functions)."""
+        if self.qp_backend == "pallas":
+            impl = (
+                self._solve_batch_fused if self.rti_fused
+                else self._solve_batch_pallas
+            )
+            return impl(Z0, P, xinit, num_iterations, warm0=warm0)
+        if warm0 is None:
+            return jax.vmap(
+                lambda z, p, x: self._solve(z, p, x, num_iterations)
+            )(Z0, P, xinit)
+        return jax.vmap(
+            lambda z, p, x, wl, wu, ok: self._solve(
+                z, p, x, num_iterations, warm0=(wl, wu, ok))
+        )(Z0, P, xinit, *warm0)
+
     # -- public API --------------------------------------------------------
     def _get_compiled(self, n: int, batched: bool, warm: bool = False):
         key = (n, batched, warm)
         fn = self._compiled.get(key)
         if fn is None:
             if batched and self.qp_backend == "pallas":
+                impl = (
+                    self._solve_batch_fused if self.rti_fused
+                    else self._solve_batch_pallas
+                )
                 if warm:
                     fn = jax.jit(lambda Z0, P, xinit, wl, wu, ok:
-                                 self._solve_batch_pallas(Z0, P, xinit, n,
-                                                          warm0=(wl, wu, ok)))
+                                 impl(Z0, P, xinit, n, warm0=(wl, wu, ok)))
                 else:
                     fn = jax.jit(
-                        lambda Z0, P, xinit: self._solve_batch_pallas(Z0, P, xinit, n)
+                        lambda Z0, P, xinit: impl(Z0, P, xinit, n)
                     )
             else:
                 if warm:

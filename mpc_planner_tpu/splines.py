@@ -36,10 +36,17 @@ def _blend_weights(s, s_starts):
     import jax
 
     lam = jax.nn.sigmoid(-(s[..., None] - s_starts[1:] + 0.02) / 0.1)  # [..., n-1]
-    one = jnp.ones_like(lam[..., :1])
-    lam_full = jnp.concatenate([lam, one], axis=-1)  # [..., n]; last = 1
-    keep = jnp.concatenate([one, 1.0 - lam], axis=-1)  # prod_{j<i}(1-lambda_j)
-    return lam_full * jnp.cumprod(keep, axis=-1)
+    # Telescoping product w_i = lambda_i * prod_{j<i}(1 - lambda_j),
+    # unrolled over the (static, small) segment count. An equivalent
+    # jnp.cumprod is rejected by Mosaic inside the fused RTI kernel (the
+    # prefix-scan lowering emits zero-size slices).
+    ws = []
+    prod = jnp.ones(jnp.shape(s))
+    for i in range(num_segments - 1):
+        ws.append(lam[..., i] * prod)
+        prod = prod * (1.0 - lam[..., i])
+    ws.append(prod)  # last segment: lambda = 1 (fallback branch)
+    return jnp.stack(ws, axis=-1)
 
 
 class Spline:

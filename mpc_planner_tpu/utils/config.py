@@ -152,6 +152,18 @@ class SolverConfig:
     # kernel path ignores this flag (it carries its own sequential
     # in-register recursion).
     horizon_parallel: bool = False
+    # Fully fused SQP-RTI kernel (ops/pallas_rti.py): linearization +
+    # MIRROR + all RTI x IP iterations in ONE Pallas launch per lane
+    # block, removing the per-iteration XLA<->kernel round trips.
+    # STATUS: compiles are being stabilized against Mosaic compiler
+    # limits (docs/PERF_NOTES.md) — "auto" currently resolves OFF; use
+    # "on" to opt in. The unfused pipeline is the production path.
+    rti_fused: str = "auto"  # "auto" | "on" | "off"
+    # MIRROR regularization applied INSIDE the QP kernel (raw Hessians
+    # shipped; Jacobi sweep runs on the lanes) — saves the XLA-side
+    # Jacobi pass + an HBM round trip per RTI iteration. "auto" = on
+    # whenever the Pallas QP backend is selected.
+    qp_mirror_in_kernel: str = "auto"  # "auto" | "on" | "off"
     timeout_margin: float = 0.006  # [s] subtracted from budget (ref planner.cpp:117-118)
 
 

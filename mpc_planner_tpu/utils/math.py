@@ -14,6 +14,42 @@ def rotation_matrix(angle):
     )
 
 
+def atan2(y, x):
+    """Four-quadrant arctangent from primitives Mosaic can lower.
+
+    `lax.atan2` has no Pallas TPU lowering rule, so traced module costs
+    that run inside the fused RTI kernel (ops/pallas_rti.py) use this
+    instead: Cephes atanf's degree-9 minimax polynomial with branchless
+    range reduction (|t| <= tan 22.5deg core interval) and quadrant
+    fixup. Max error ~1e-7 rad; gradients are the piecewise-correct
+    d/dy = x/(x^2+y^2), d/dx = -y/(x^2+y^2) away from the origin (all
+    discarded branches use guarded denominators so no NaN leaks through
+    `where` under autodiff).
+    """
+    eps = 1e-30
+    x_safe = jnp.where(jnp.abs(x) < eps, eps, x)
+    t = jnp.abs(y / x_safe)
+
+    # Range reduction: t > tan(67.5) -> pi/2 - atan(1/t);
+    # t > tan(22.5) -> pi/4 + atan((t-1)/(t+1)); else atan(t).
+    hi = t > 2.414213562373095
+    mid = (t > 0.4142135623730950) & ~hi
+    t_hi = -1.0 / jnp.where(hi, t, 1.0)
+    t_mid = (t - 1.0) / (t + 1.0)
+    r = jnp.where(hi, t_hi, jnp.where(mid, t_mid, t))
+    y0 = jnp.where(hi, jnp.pi / 2, jnp.where(mid, jnp.pi / 4, 0.0))
+    z = r * r
+    poly = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z
+        - 3.33329491539e-1
+    ) * z * r + r
+    a = y0 + poly  # atan(|y/x|) in [0, pi/2]
+
+    # Quadrants: sign from y, reflection from x < 0.
+    a = jnp.where(x < 0, jnp.pi - a, a)
+    return jnp.where(y < 0, -a, jnp.where(y > 0, a, jnp.where(x < 0, jnp.pi, 0.0)))
+
+
 def haar_difference_without_abs(angle1, angle2):
     """Signed angle difference wrapped to (-pi, pi]
     (ref util/math.py:10-11). jnp.mod matches CasADi fmod for this use."""

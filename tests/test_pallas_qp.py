@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from mpc_planner_tpu.solver.qp import solve_qp
 
 
-def _small_qp(cfg, rng):
+def _small_qp(cfg, rng, mirror=True):
     """Build a batched QP from the goal-tracking OCP."""
     from mpc_planner_tpu.models import SecondOrderUnicycleModel
     from mpc_planner_tpu.modules import GoalModule, ModuleManager, MPCBaseModule
@@ -42,8 +42,10 @@ def _small_qp(cfg, rng):
     Z0b = np.tile(Z0[None], (B, 1, 1)).astype(np.float32)
     Z0b[:, 1:, model.nu :] += rng.normal(0, 0.05, Z0b[:, 1:, model.nu :].shape)
     Pb = jnp.asarray(np.tile(pblock.data[None], (B, 1, 1)), jnp.float32)
-    qp = jax.vmap(solver._linearize)(jnp.asarray(Z0b, jnp.float32), Pb)
-    return model, qp
+    qp = jax.vmap(lambda z, p: solver._linearize(z, p, mirror=mirror))(
+        jnp.asarray(Z0b, jnp.float32), Pb
+    )
+    return (model, qp) if mirror else (model, solver, qp)
 
 
 @pytest.mark.parametrize("mehrotra", [True, False])
@@ -70,6 +72,31 @@ def test_pallas_qp_matches_xla(cfg, rng, mehrotra):
     ll_ref = np.asarray(ref.lam_l)
     ll_pl = np.asarray(out.lam_l)
     assert np.abs(ll_ref - ll_pl).max() / (np.abs(ll_ref).max() + 1e-9) < 5e-3
+
+
+def test_pallas_qp_mirror_in_kernel(cfg, rng):
+    """Raw-Hessian input + in-kernel MIRROR matches the XLA-mirrored
+    reference path."""
+    from mpc_planner_tpu.ops import pallas_qp
+
+    model, solver, qp_raw = _small_qp(cfg, rng, mirror=False)
+    ITER = 8
+    with jax.default_matmul_precision("highest"):
+        Bb, Np1, nv, _ = qp_raw.H.shape
+        H_m = solver._mirror_nvar(qp_raw.H.reshape(Bb * Np1, nv, nv))
+        qp_m = qp_raw._replace(H=H_m.reshape(Bb, Np1, nv, nv))
+        ref = jax.vmap(
+            lambda d: solve_qp(d, model.nu, model.nx, iterations=ITER)
+        )(qp_m)
+        out = pallas_qp.solve_qp_pallas(
+            qp_raw, model.nu, model.nx, iterations=ITER, interpret=True,
+            mirror_in_kernel=True, lm=solver.lm,
+            mirror_x_only=solver._mirror_x_only,
+        )
+    dz_ref = np.asarray(ref.dz)
+    dz_pl = np.asarray(out.dz)
+    scale = np.abs(dz_ref).max() + 1e-9
+    assert np.abs(dz_ref - dz_pl).max() / scale < 5e-3
 
 
 @pytest.mark.parametrize("mehrotra", [True, False])
