@@ -63,7 +63,7 @@ def _rti_kernel(
     # outputs
     Zout_ref, lam_l_ref, lam_u_ref, mu_out_ref,
     # scratch: linearized data (dynamic-indexed by the IP solve)
-    H_ref, A_ref, B_ref, Dh_ref,
+    H_ref, A_ref, B_ref, Dh_ref, g_ref, c_ref, lbv_ref, ubv_ref,
     # scratch: RTI state
     Zc_ref, muc_ref, ok_ref,
     # scratch: IP solve workspace
@@ -77,24 +77,22 @@ def _rti_kernel(
     dyn_fn, run_cost, term_cost, con_fn,
 ):
     f32 = jnp.float32
-    P_all = P_ref[...]
-    lbT = lbT_ref[...]
-    ubT = ubT_ref[...]
-    Pr = P_all[:N]
 
     def linearize(Z):
         """In-kernel linearization at iterate Z [N+1, nvar, L]: writes
-        H/A/B/Dh into refs, returns (g, c, lb, ub) values. Mirrors
+        H/A/B/Dh and g/c/lb/ub into refs (the IP solve reads them at
+        each use site — keeping them off the cross-loop SSA stack is
+        the scoped-VMEM discipline that keeps flagship shapes
+        compiling, see ops/pallas_qp.py::_ip_solve). Mirrors
         solver/sqp.py::SQPSolver._linearize stage for stage."""
         Zr = Z[:N]
-        import os as _os
-        _skip_mirror = _os.environ.get("MPC_RTI_SKIP_MIRROR") == "1"  # debug
+        P_all = P_ref[...]
+        Pr = P_all[:N]
         f_val = _stage_lane(dyn_fn)(Zr, Pr)  # [N, nx, L]
         Jf = _stage_lane(jax.jacfwd(dyn_fn))(Zr, Pr)  # [N, nx, nvar, L]
         g_run = _stage_lane(jax.grad(run_cost))(Zr, Pr)  # [N, nvar, L]
         H_run = _stage_lane(jax.hessian(run_cost))(Zr, Pr)  # [N, nvar, nvar, L]
-        if not _skip_mirror:
-            H_run = _mirror_nvar_lanes(H_run, lm, nu, nx, mirror_x_only)
+        H_run = _mirror_nvar_lanes(H_run, lm, nu, nx, mirror_x_only)
 
         # Terminal node: keep a singleton stage axis so every traced op
         # stays >= 2-D ([1, ..., L]) — rank-1 [L] loop-carried values
@@ -116,11 +114,11 @@ def _rti_kernel(
         )
         H_ref[...] = jnp.concatenate([H_run, HN_full[None]], axis=0)
         gN_full = jnp.concatenate([jnp.zeros((nu, LANES), f32), gN[nu:]], axis=0)
-        g = jnp.concatenate([g_run, gN_full[None]], axis=0)
+        g_ref[...] = jnp.concatenate([g_run, gN_full[None]], axis=0)
 
         A_ref[...] = Jf[:, :, nu:]
         B_ref[...] = Jf[:, :, :nu]
-        c = f_val - Z[1:, nu:]
+        c_ref[...] = f_val - Z[1:, nu:]
 
         if nh:
             h_val = _stage_lane(con_fn)(Zr, Pr)  # [N, nh, L]
@@ -135,11 +133,12 @@ def _rti_kernel(
         # +-1e15 sentinel templates survive the subtraction in f32
         # (|r| << 1e8 spacing at 1e15), so infinite/inactive rows keep
         # their sentinel and the IP solve's mask derivation sees them.
-        return g, c, lbT - r, ubT - r
+        lbv_ref[...] = lbT_ref[...] - r
+        ubv_ref[...] = ubT_ref[...] - r
 
-    def ip(g, c, lb, ub, warm, iterations):
+    def ip(warm, iterations):
         return _ip_solve(
-            H_ref, A_ref, B_ref, Dh_ref, g, c, lb, ub, warm,
+            H_ref, A_ref, B_ref, Dh_ref, g_ref, c_ref, lbv_ref, ubv_ref, warm,
             s_l_ref, s_u_ref, zeta_ref, Rinv_ref, K_ref, Sh_ref, Pn_ref,
             kff_ref, dzt_ref, w_ref, gb_ref, req_ref, e_ref, coef_ref,
             gst_ref, ecar_ref, lam_l_ref, lam_u_ref,
@@ -171,12 +170,12 @@ def _rti_kernel(
         wl = lam_l_ref[...]
         wu = lam_u_ref[...]
         ok = ok_ref[0, :] > 0
-        g, c, lb, ub = linearize(Z)
+        linearize(Z)
         if it0 == warm_iters:  # steady state (cross-cycle duals): static
             n_ip = it0
         else:
             n_ip = jnp.where(i == 0, jnp.int32(it0), jnp.int32(warm_iters))
-        mu = ip(g, c, lb, ub, (wl, wu, ok), n_ip)
+        mu = ip((wl, wu, ok), n_ip)
         Zc_ref[...] = Z + zeta_ref[...]
         muc_ref[...] = _ed(mu, 0)
         ok_ref[...] = _ed((mu < 1e-2).astype(f32), 0)
@@ -291,6 +290,10 @@ def solve_rti_pallas(
         pltpu.VMEM((N, nx, nx, LANES), jnp.float32),  # A
         pltpu.VMEM((N, nx, nu, LANES), jnp.float32),  # B
         pltpu.VMEM((Np1, nh_s, nvar, LANES), jnp.float32),  # Dh
+        pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g
+        pltpu.VMEM((N, nx, LANES), jnp.float32),  # c
+        pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # lb (values)
+        pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # ub (values)
         # RTI state
         pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # Zc
         pltpu.VMEM((1, LANES), jnp.float32),  # muc

@@ -22,13 +22,21 @@ def atan2(y, x):
     instead: Cephes atanf's degree-9 minimax polynomial with branchless
     range reduction (|t| <= tan 22.5deg core interval) and quadrant
     fixup. Max error ~1e-7 rad; gradients are the piecewise-correct
-    d/dy = x/(x^2+y^2), d/dx = -y/(x^2+y^2) away from the origin (all
-    discarded branches use guarded denominators so no NaN leaks through
-    `where` under autodiff).
+    d/dy = x/(x^2+y^2), d/dx = -y/(x^2+y^2) away from the origin,
+    INCLUDING on the y == 0 ray: the sign of y is carried analytically
+    (`sy * a` with sy a where-of-constants), never by selecting a
+    constant output in a `where`, so autodiff at y == 0 yields
+    d/dy = 1/x — the value jnp.arctan2 gives there. (An earlier version
+    selected constants at y == 0 and silently zeroed that derivative,
+    corrupting the first RTI linearization at cold start where vt == 0
+    exactly — ADVICE r2.)
     """
     eps = 1e-30
-    x_safe = jnp.where(jnp.abs(x) < eps, eps, x)
-    t = jnp.abs(y / x_safe)
+    # Nonzero signs (+1 at 0) — where-of-constants, zero gradient.
+    sy = jnp.where(y >= 0.0, 1.0, -1.0)
+    sx = jnp.where(x >= 0.0, 1.0, -1.0)
+    ax_ = jnp.maximum(sx * x, eps)  # |x|, d/dx = sx
+    t = (sy * y) / ax_  # |y|/|x| with d/dy = sy/|x| (nonzero at y == 0)
 
     # Range reduction: t > tan(67.5) -> pi/2 - atan(1/t);
     # t > tan(22.5) -> pi/4 + atan((t-1)/(t+1)); else atan(t).
@@ -43,11 +51,11 @@ def atan2(y, x):
         ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z
         - 3.33329491539e-1
     ) * z * r + r
-    a = y0 + poly  # atan(|y/x|) in [0, pi/2]
+    a = y0 + poly  # atan(|y|/|x|) in [0, pi/2]
 
-    # Quadrants: sign from y, reflection from x < 0.
+    # Quadrants: reflection from x < 0, then the analytic sign of y.
     a = jnp.where(x < 0, jnp.pi - a, a)
-    return jnp.where(y < 0, -a, jnp.where(y > 0, a, jnp.where(x < 0, jnp.pi, 0.0)))
+    return sy * a
 
 
 def haar_difference_without_abs(angle1, angle2):
