@@ -41,7 +41,10 @@ def main():
     from mpc_planner_tpu.solver import SQPSolver
     from mpc_planner_tpu.utils.config import default_config
 
+    # Force the fused path on: `rti_fused` defaults to auto->off until a
+    # recorded hardware win exists (this script produces that record).
     cfg = default_config(N=20)
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, rti_fused="on"))
     model, ocp, solver, Z0, P, xinit = _build(cfg)
     assert solver.rti_fused, "fused path not selected"
 

@@ -36,6 +36,8 @@ from __future__ import annotations
 import json
 import socket
 import os
+import stat
+import tempfile
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -63,19 +65,43 @@ class _LineReader:
         return line
 
 
+def default_address() -> str:
+    """Default socket path: inside a per-user mode-0700 runtime dir, not
+    a fixed world-writable /tmp path (squatting / injection hardening:
+    any local user could otherwise connect and command the planner, and
+    the server would blindly unlink whatever sat at the fixed path —
+    ADVICE r2)."""
+    run_dir = os.path.join(
+        tempfile.gettempdir(), f"mpc_planner_tpu-{os.getuid()}"
+    )
+    os.makedirs(run_dir, mode=0o700, exist_ok=True)
+    os.chmod(run_dir, 0o700)
+    return os.path.join(run_dir, "planner.sock")
+
+
 class PlannerBridgeServer:
     """Serves one RobotLoop over a socket. Blocking `serve_forever` —
     run it as the main loop of a dedicated planner process."""
 
-    def __init__(self, planner, cfg, address="/tmp/mpc_planner_tpu.sock"):
+    def __init__(self, planner, cfg, address=None):
         self.loop = RobotLoop(planner, cfg)
-        self.address = address
         self._pending_obstacles: List[dict] = []
+        if address is None:
+            address = default_address()
+        self.address = address
         if isinstance(address, str):
             if os.path.exists(address):
-                os.unlink(address)
+                # Only clear a stale path if it really is a socket —
+                # never unlink an arbitrary file planted at the address.
+                if stat.S_ISSOCK(os.lstat(address).st_mode):
+                    os.unlink(address)
+                else:
+                    raise RuntimeError(
+                        f"bridge address {address!r} exists and is not a socket"
+                    )
             self._server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._server.bind(address)
+            os.chmod(address, 0o600)
         else:  # (host, port) tuple
             self._server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             self._server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -164,7 +190,9 @@ class PlannerBridgeClient:
     """Robot-/simulator-side handle (the reference's topic publishers +
     command subscriber collapsed into one request/response socket)."""
 
-    def __init__(self, address="/tmp/mpc_planner_tpu.sock", timeout=60.0):
+    def __init__(self, address=None, timeout=60.0):
+        if address is None:
+            address = default_address()
         if isinstance(address, str):
             self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         else:

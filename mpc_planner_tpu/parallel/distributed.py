@@ -130,22 +130,15 @@ def distributed_solve_step(solver, mesh: Mesh, num_iterations: int):
     data_sharding = NamedSharding(mesh, P("batch"))
     replicated = NamedSharding(mesh, P())
 
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    if n_dev > 1:
-        # SPMD over the mesh: each device runs the batched solve on its
-        # OWN shard (a pallas_call cannot be auto-partitioned by pjit —
-        # shard_map is the per-device program form; the XLA backend uses
-        # the same structure so CPU meshes validate the exact program
-        # shape a pod runs). Selection stays outside: plain reductions
-        # over the sharded result lower to ICI/DCN collectives.
-        solve_sharded = jax.shard_map(
-            lambda z, p, x: solver.batch_impl(z, p, x, num_iterations),
-            mesh=mesh, in_specs=(P("batch"), P("batch"), P("batch")),
-            out_specs=P("batch"), check_vma=False,
-        )
-    else:
-        solve_sharded = lambda z, p, x: solver.batch_impl(
-            z, p, x, num_iterations)
+    # SPMD over the mesh: each device runs the batched solve on its OWN
+    # shard (a pallas_call cannot be auto-partitioned by pjit — shard_map
+    # is the per-device program form; the XLA backend uses the same
+    # structure so CPU meshes validate the exact program shape a pod
+    # runs). Selection stays outside: plain reductions over the sharded
+    # result lower to ICI/DCN collectives.
+    from mpc_planner_tpu.parallel.mesh import sharded_batch_impl
+
+    solve_sharded = sharded_batch_impl(solver, mesh, num_iterations)
 
     def step(Z0, P_, xinit, consistency):
         res = solve_sharded(Z0, P_, xinit)

@@ -37,6 +37,28 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "batch"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def sharded_batch_impl(solver, mesh: Mesh, num_iterations: int,
+                       axis_name: str = "batch"):
+    """Traceable batched solve, SPMD over the mesh.
+
+    On a multi-device mesh, wraps `solver.batch_impl` in `jax.shard_map`
+    so each device runs the solve on its OWN batch shard — a pallas_call
+    cannot be auto-partitioned by pjit, so plain jit-with-shardings
+    would silently all-gather the full batch onto every device and run
+    it replicated (ADVICE r2). On a 1-device mesh, the wrapper is the
+    plain batch_impl. Shared by sharded_solve_fn and
+    parallel/distributed.py::distributed_solve_step.
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if n_dev > 1:
+        return jax.shard_map(
+            lambda z, p_, x: solver.batch_impl(z, p_, x, num_iterations),
+            mesh=mesh, in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=P(axis_name), check_vma=False,
+        )
+    return lambda z, p_, x: solver.batch_impl(z, p_, x, num_iterations)
+
+
 def sharded_solve_fn(solver, mesh: Mesh, num_iterations: int, axis_name: str = "batch"):
     """jit the batched solve with explicit in/out shardings over the mesh.
 
@@ -45,9 +67,7 @@ def sharded_solve_fn(solver, mesh: Mesh, num_iterations: int, axis_name: str = "
     the mesh size.
     """
     data_sharding = NamedSharding(mesh, P(axis_name))
-
-    def solve(Z0, P_, xinit):
-        return solver.batch_impl(Z0, P_, xinit, num_iterations)
+    solve = sharded_batch_impl(solver, mesh, num_iterations, axis_name)
 
     return jax.jit(
         solve,

@@ -16,6 +16,9 @@ from mpc_planner_tpu.planner import Planner
 from mpc_planner_tpu.presets import corridor_scene
 from mpc_planner_tpu.sim import ClosedLoopSimulator
 from mpc_planner_tpu.sim.simulator import Pedestrian
+import pytest
+
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
 
 
 def _contouring_base(cfg):

@@ -15,6 +15,7 @@ from mpc_planner_tpu.modules.decomp_constraints import (
 )
 from mpc_planner_tpu.planner import Planner
 from mpc_planner_tpu.presets import corridor_scene
+import pytest
 
 
 def _costmap_with_walls(cfg):
@@ -48,6 +49,7 @@ def test_free_polytope_separates_walls():
     assert viol0 > 0
 
 
+@pytest.mark.slow
 def test_decomp_closed_loop_solve(cfg):
     modules = ModuleManager()
     from mpc_planner_tpu.models import ContouringSecondOrderUnicycleModel

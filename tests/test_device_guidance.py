@@ -121,6 +121,7 @@ def test_sampled_consistency_bookkeeping(samp_cfg):
     assert matched[0].signature == trajs[0].signature
 
 
+@pytest.mark.slow
 def test_tmpc_cycle_with_sampled_backend(samp_cfg):
     cfg = samp_cfg
     model, modules = configuration_tmpc(cfg)

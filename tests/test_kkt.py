@@ -38,6 +38,8 @@ from mpc_planner_tpu.presets import (
 from mpc_planner_tpu.solver.kkt import dense_reference_solve, kkt_residuals
 from mpc_planner_tpu.types import Halfspace
 
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
+
 
 def _goal_config(cfg):
     modules = ModuleManager()

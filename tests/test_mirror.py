@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from mpc_planner_tpu.ops.jacobi_eigh import mirror_jacobi, mirror_unpacked
+import pytest
 
 
 def _sym_stack(rng, M, n):
@@ -39,6 +40,7 @@ def test_mirror_unpacked_batch_shapes(rng):
     assert np.abs(ref - out).max() / np.abs(ref).max() < 5e-3
 
 
+@pytest.mark.slow
 def test_mirror_structure_probe_and_equivalence(cfg):
     """Stock configs have u-separable cost Hessians; the structured MIRROR
     (x-block-only Jacobi) must give the same solve as the dense path."""

@@ -19,6 +19,8 @@ from mpc_planner_tpu.planner import Planner
 from mpc_planner_tpu.presets import corridor_scene
 from mpc_planner_tpu.types import State
 
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
+
 
 def _curved_path_data(cfg):
     state, data = corridor_scene(cfg, n_pedestrians=0)

@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
+
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

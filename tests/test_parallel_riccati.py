@@ -79,6 +79,7 @@ def test_full_ip_solve_agreement(seed):
     assert np.isfinite(float(sol_par.mu))
 
 
+@pytest.mark.slow
 def test_config_flag_reaches_solver(cfg):
     """solver.horizon_parallel=True is honored end-to-end on the XLA path."""
     import dataclasses

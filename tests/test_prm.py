@@ -141,6 +141,7 @@ def test_prm_consistency_bookkeeping(prm_cfg):
     assert matched[0].signature == trajs[0].signature
 
 
+@pytest.mark.slow
 def test_tmpc_cycle_with_prm_backend(prm_cfg):
     """End-to-end planner cycle with the PRM guidance backend."""
     cfg = prm_cfg

@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 

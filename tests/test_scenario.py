@@ -9,6 +9,8 @@ from mpc_planner_tpu.presets import configuration_safe_horizon, corridor_scene
 from mpc_planner_tpu.sim import ClosedLoopSimulator
 from mpc_planner_tpu.sim.simulator import Pedestrian
 
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
+
 
 def test_safe_horizon_solves(cfg):
     model, modules = configuration_safe_horizon(cfg)

@@ -76,6 +76,7 @@ def test_dingo_pointmass_solves(cfg):
     assert max(vx) > 0.05
 
 
+@pytest.mark.slow
 def test_rosnavigation_lmpcc_solves(cfg):
     cfg_r, model, modules = select_system(
         "rosnavigation", variant="lmpcc", N=10,

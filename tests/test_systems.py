@@ -7,6 +7,7 @@ from mpc_planner_tpu.planner import Planner
 from mpc_planner_tpu.presets import configuration_basic
 from mpc_planner_tpu.systems import NavigationPlanner, RobotLoop, convert_obstacle_messages
 from mpc_planner_tpu.types import State
+import pytest
 
 
 def _make_loop(cfg):
@@ -41,6 +42,7 @@ def test_obstacle_message_conversion(cfg):
     assert gaussian_obs.prediction.type == int(PredictionType.GAUSSIAN)
 
 
+@pytest.mark.slow
 def test_robot_loop_drives(cfg):
     loop, model = _make_loop(cfg)
     xs = np.linspace(0, 12, 8)
@@ -83,6 +85,7 @@ def test_navigation_planner_rotate_to_goal(cfg):
     assert nav.is_goal_reached(np.array([5.0, 0.0, np.pi / 2]))
 
 
+@pytest.mark.slow
 def test_flipped_robot_detection(cfg):
     """Tipped-over robot -> zero command, flagged (ref ros1_jackalsimulator
     .cpp:235-239)."""

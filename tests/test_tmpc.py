@@ -10,6 +10,8 @@ from mpc_planner_tpu.presets import configuration_tmpc, corridor_scene
 from mpc_planner_tpu.sim import ClosedLoopSimulator
 from mpc_planner_tpu.sim.simulator import Pedestrian
 
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
+
 
 @pytest.fixture
 def tmpc_planner(cfg):

@@ -9,6 +9,9 @@ import numpy as np
 from mpc_planner_tpu.planner import Planner
 from mpc_planner_tpu.presets import configuration_tmpc, corridor_scene
 from mpc_planner_tpu.utils.experiment import ExperimentUtil
+import pytest
+
+pytestmark = pytest.mark.slow  # >20 s/test on CPU; fast tier skips
 
 
 def test_planner_visualize_collects_artifacts(cfg):
