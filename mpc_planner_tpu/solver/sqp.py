@@ -170,8 +170,17 @@ class SQPSolver:
             and not self.warm_corrector_only
         )
         if fused == "auto":
-            # auto resolves OFF until the fused kernel's Mosaic compile
-            # is stabilized at flagship shapes (docs/PERF_NOTES.md).
+            # auto resolves OFF: the fused kernel is SHELVED for native
+            # TPU execution. Measured 2026-08-21 (experiments/
+            # fused_rti_check.py + direct probes): the Mosaic compile of
+            # the fused program is killed by the compile helper (SIGKILL,
+            # out-of-memory) at the flagship shape even at B=8 / one
+            # lane block after ~20 min, and the GOAL rung (nvar=6, nh=0)
+            # did not finish compiling within a 40-minute timeout —
+            # vs ~30 s for the whole unfused goal-rung solve. Kernel
+            # semantics remain verified in interpret mode
+            # (tests/test_pallas_rti.py); revisit on a newer
+            # libtpu/Mosaic. See docs/PERF_NOTES.md "Fused RTI kernel".
             self.rti_fused = False
         else:
             self.rti_fused = (fused in ("on", True)) and fused_ok
@@ -214,8 +223,12 @@ class SQPSolver:
         mik = getattr(cfg.solver, "qp_mirror_in_kernel", "auto")
         self.mirror_in_qp_kernel = (
             self.qp_backend == "pallas"
-            if mik == "auto" else mik in ("on", True)
+            if mik == "auto" else mik in ("on", "force", True)
         )
+        # "force" skips the B <= LANES gate at the call site (experiments
+        # only: G>1 + in-kernel mirror has historically overflowed the
+        # Mosaic scoped-VMEM budget — see _solve_batch_pallas).
+        self.mirror_in_qp_kernel_force = mik == "force"
 
         # Compiled-function cache keyed by (num_iterations, batched): the
         # host-side timeout logic selects the iteration count per cycle and
@@ -486,8 +499,8 @@ class SQPSolver:
             # shapes (measured: G=8 + in-kernel mirror OOMs at 19.7 MB vs
             # a 19.28 MB limit, while G=1 + mirror and G=8 + XLA-mirror
             # both compile — the r2 bench crash, VERDICT r2 Weak #1/#3).
-            mirror_in_kernel = (
-                self.mirror_in_qp_kernel and Z0.shape[0] <= LANES
+            mirror_in_kernel = self.mirror_in_qp_kernel and (
+                Z0.shape[0] <= LANES or self.mirror_in_qp_kernel_force
             )
 
             def lin(Z, P_):

@@ -13,8 +13,17 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("script", ["01_goal_tracking.py"])
-def test_example_runs(script):
+@pytest.mark.parametrize(
+    "script,expect",
+    [
+        ("01_goal_tracking.py", "goal reached"),
+        pytest.param(
+            "05_bridge_external_sim.py", "OK", marks=pytest.mark.slow,
+            id="05_bridge_external_sim.py",
+        ),
+    ],
+)
+def test_example_runs(script, expect):
     env = dict(os.environ)
     env.pop("EXAMPLES_TPU", None)  # force the CPU path
     proc = subprocess.run(
@@ -23,4 +32,4 @@ def test_example_runs(script):
         cwd=os.path.join(ROOT, "examples"),
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "goal reached" in proc.stdout
+    assert expect in proc.stdout
