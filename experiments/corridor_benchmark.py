@@ -22,7 +22,11 @@ def main():
     ap.add_argument("--max-steps", type=int, default=200)
     ap.add_argument("--peds", type=int, nargs="*", default=[4, 8, 12])
     ap.add_argument("--config", choices=["tmpc", "basic", "all"], default="all")
+    ap.add_argument("--backend", choices=["lateral", "prm", "sampled"],
+                    default=None, help="guidance backend override (A/B runs)")
     ap.add_argument("--no-braking-class", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="also print one JSON line per row")
     args = ap.parse_args()
 
     if args.cpu:
@@ -68,9 +72,14 @@ def main():
             durations, collisions, completed, infeasible = [], 0, 0, 0
             for seed in range(args.seeds):
                 cfg = default_config(N=20)
+                import dataclasses as _dc
                 if args.no_braking_class:
                     cfg = cfg.replace(
-                        t_mpc=cfg.t_mpc.__class__(braking_class=False)
+                        t_mpc=_dc.replace(cfg.t_mpc, braking_class=False)
+                    )
+                if args.backend:
+                    cfg = cfg.replace(
+                        t_mpc=_dc.replace(cfg.t_mpc, guidance_backend=args.backend)
                     )
                 model, modules = make_config(cfg)
                 planner = Planner(model, modules, cfg)
@@ -88,6 +97,15 @@ def main():
                 f"| {np.mean(durations):.1f} | {collisions} | {infeasible} |",
                 flush=True,
             )
+            if args.json:
+                import json as _json
+                print(_json.dumps({
+                    "config": cfg_name, "backend": args.backend or "lateral",
+                    "peds": n_peds, "completed": completed,
+                    "seeds": args.seeds,
+                    "duration_mean": round(float(np.mean(durations)), 1),
+                    "collisions": collisions, "infeasible": infeasible,
+                }), flush=True)
 
 
 if __name__ == "__main__":
