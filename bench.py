@@ -8,6 +8,19 @@ T-MPC++ corridor scene (contouring + guidance/ellipsoid constraints,
 12 obstacles), 10 SQP-RTI iterations per solve — the reference's
 per-cycle workload (settings.yaml iterations: 10).
 
+Measurement semantics: CYCLES control cycles are chained ON DEVICE
+inside one jit (each cycle's solution trajectory and converged QP duals
+warm-start the next, exactly the reference's 20 Hz steady state:
+shift-forward warmstart + HPIPM warm_start=2 carried across cycles,
+acados_solver_interface.cpp:274-376), and the wall time of the chain is
+divided by CYCLES. This measures what the chip sustains per control
+cycle. Per-solve time is shape-static (fixed RTI x IP iteration
+counts), so chaining does not make the workload easier — it only keeps
+the measurement off the dev-tunnel's per-dispatch latency, which in
+this environment swings a single dispatch by tens of ms between
+sessions (docs/PERF_NOTES.md "Absolute timings drift"). The
+dispatch-inclusive single-call number is printed to stderr alongside.
+
 Baseline: the reference runs 5 parallel planners at 20-30 Hz on CPU
 (README.md:52, guidance_planner.yaml n_paths=4 + T-MPC++), i.e. ~100-150
 full MPC solves/sec. vs_baseline uses 150 solves/sec (the generous end).
@@ -21,7 +34,8 @@ import numpy as np
 
 BASELINE_SOLVES_PER_SEC = 150.0  # 5 planners x 30 Hz (reference, CPU)
 BATCH = 1024  # first compile ~5 min through the dev tunnel, steady ~34 ms
-REPS = 15
+REPS = 10
+CYCLES = 8  # control cycles chained on device per timed dispatch
 RTI_ITERATIONS = 10
 
 
@@ -52,25 +66,56 @@ def main():
     Pb = jax.device_put(jnp.asarray(Pb))
     xb = jax.device_put(jnp.asarray(xb))
 
-    # Warm up / compile
+    # Warm up / compile the cold path; report feasibility from it.
     res = solver.solve_batch(Z0b, Pb, xb, num_iterations=RTI_ITERATIONS)
     jax.block_until_ready(res)
     n_success = int(np.sum(np.asarray(res.exit_code) == 1))
     print(f"# warmup: {n_success}/{BATCH} feasible", file=sys.stderr)
 
+    # Steady-state control loop chained on device: cycle k+1 warm-starts
+    # from cycle k's trajectory and converged duals (data-dependent
+    # carry — XLA cannot elide or overlap the chained solves).
+    @jax.jit
+    def run_cycles(Z0, ll0, lu0, ok0):
+        def cycle(carry, _):
+            Z, ll, lu, ok = carry
+            r = solver.batch_impl(
+                Z, Pb, xb, RTI_ITERATIONS, warm0=(ll, lu, ok)
+            )
+            return (r.Z, r.lam_l, r.lam_u, r.exit_code == 1), r.exit_code
+
+        carry, codes = jax.lax.scan(
+            cycle, (Z0, ll0, lu0, ok0), None, length=CYCLES
+        )
+        return carry, codes
+
+    warm0 = (res.Z, res.lam_l, res.lam_u, res.exit_code == 1)
+    out = run_cycles(*warm0)
+    jax.block_until_ready(out)
+
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        res = solver.solve_batch(Z0b, Pb, xb, num_iterations=RTI_ITERATIONS)
-        jax.block_until_ready(res)
-        times.append(time.perf_counter() - t0)
-
+        out = run_cycles(*warm0)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / CYCLES)
     times = np.asarray(times)
+    codes = np.asarray(out[1])
+    feas_steady = int(np.sum(codes[-1] == 1))
+
+    # Dispatch-inclusive single-call latency for reference
+    t0 = time.perf_counter()
+    r1 = solver.solve_batch(Z0b, Pb, xb, num_iterations=RTI_ITERATIONS)
+    jax.block_until_ready(r1)
+    t_single = time.perf_counter() - t0
+
     solves_per_sec = BATCH / float(np.mean(times))
     p99_ms = float(np.percentile(times, 99) * 1e3)
     print(
-        f"# batch={BATCH} mean={np.mean(times)*1e3:.1f}ms p99={p99_ms:.1f}ms "
-        f"rti={RTI_ITERATIONS}",
+        f"# batch={BATCH} cycle mean={np.mean(times)*1e3:.1f}ms "
+        f"p99={p99_ms:.1f}ms rti={RTI_ITERATIONS} "
+        f"steady feasible={feas_steady}/{BATCH} "
+        f"(single dispatch incl. tunnel: {t_single*1e3:.1f}ms)",
         file=sys.stderr,
     )
 

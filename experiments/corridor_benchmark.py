@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--backend", choices=["lateral", "prm", "sampled"],
                     default=None, help="guidance backend override (A/B runs)")
     ap.add_argument("--no-braking-class", action="store_true")
+    ap.add_argument("--robot-blind", action="store_true",
+                    help="pedestrians ignore the robot (pedsim's social-"
+                         "forces agents avoid it; that is the default)")
     ap.add_argument("--json", action="store_true",
                     help="also print one JSON line per row")
     args = ap.parse_args()
@@ -86,6 +89,11 @@ def main():
                 sim = ClosedLoopSimulator(
                     planner, cfg, make_peds(n_peds, seed), path,
                     social_forces=True, seed=seed,
+                    # pedsim's social-forces pedestrians treat the robot
+                    # as an agent and avoid it (the reference's corridor
+                    # conditions); --robot-blind reproduces the harsher
+                    # robot-invisible variant.
+                    robot_aware=not args.robot_blind,
                 )
                 res = sim.run(max_steps=args.max_steps)
                 durations.append(res.duration)

@@ -127,13 +127,24 @@ def make_rungs():
     state, data = corridor_scene(cfg, n_pedestrians=8)
     rungs.append(("tmpc", cfg, model, mgr, state, data))
 
-    # 6. SH-MPC scenario constraints (hard variant, nvar=7 -> Pallas;
-    # the slack model is nvar=8 and runs on the XLA path only, see
-    # docs/PERF_NOTES.md)
+    # 6. SH-MPC scenario constraints (hard variant, nvar=7)
     cfg = default_config(N=20).replace(max_obstacles=8)
     model, mgr = configuration_safe_horizon_hard(cfg)
     state, data = corridor_scene(cfg, n_pedestrians=8)
     rungs.append(("shmpc", cfg, model, mgr, state, data))
+
+    # 7. SH-MPC slack model (nvar=8) — the configuration the reference's
+    # SH-MPC actually generates (solver_model.py:274-299,
+    # scenario_constraints.py:26). On the Pallas kernel since r3: the
+    # historic nondeterministic nvar=8 fault no longer reproduces after
+    # the refs-based VMEM refactor (10/10 fresh-process stress PASS,
+    # experiments/nvar8_stress.py).
+    from mpc_planner_tpu.presets import configuration_safe_horizon
+
+    cfg = default_config(N=20).replace(max_obstacles=8)
+    model, mgr = configuration_safe_horizon(cfg)
+    state, data = corridor_scene(cfg, n_pedestrians=8)
+    rungs.append(("shmpc-slack", cfg, model, mgr, state, data))
 
     return rungs
 

@@ -153,9 +153,18 @@ class ClosedLoopSimulator:
                 a = self.planner.get_solution(0, "a")
                 w = self.planner.get_solution(0, "w")
             else:
-                # Open-loop braking fallback (ref ros1_jackalsimulator.cpp:191-201)
+                # Open-loop braking fallback (ref ros1_jackalsimulator.cpp:
+                # 191-201). The reference commands a decelerating VELOCITY
+                # (clamped at 0); integrating a raw -decel acceleration for
+                # a full dt instead can overshoot v below zero — into a
+                # state the model's v >= lb bound makes unreachable in one
+                # step (|a| <= a_max), so every subsequent QP is infeasible
+                # and the robot drifts backward forever. Clamp the braking
+                # acceleration so v stops exactly at 0.
                 result.infeasible_cycles += 1
-                a = -cfg.deceleration_at_infeasible if state.get("v") > 0 else 0.0
+                v = state.get("v")
+                a = -np.clip(v / dt, -cfg.deceleration_at_infeasible,
+                             cfg.deceleration_at_infeasible)
                 w = 0.0
 
             self._integrate_robot(state, a, w, dt)

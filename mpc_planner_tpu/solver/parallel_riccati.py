@@ -5,10 +5,15 @@ stage at a time — O(N) dependent steps per IP iteration, the stagewise
 structure HPIPM exploits on CPU (SURVEY.md §2.5(4)). This module solves
 the SAME equality-constrained LQR subproblem with `jax.lax.
 associative_scan` over the stages: O(log N) dependent combine rounds of
-nx x nx work, the TPU-native answer for long horizons where the O(N)
-chain dominates (N >= ~100; at the reference's N=20-30 the extra
-per-combine inverses cost more than the chain they remove — measured in
-experiments/horizon_sweep.py, see docs/PERF_NOTES.md).
+nx x nx work. MEASURED (experiments/horizon_sweep.py, TPU v5e, B=64,
+8 IP iterations, data-pull-fenced, 2026-08-21): the scan LOSES at every
+horizon tested — par/seq 2.6x at N=10, 3.6x at N=20, 4.3x at N=30,
+5.6x at N=60, 5.9x at N=120-240; no crossover up to N=240. The
+per-combine 5x5 inverses and 5-tuple element algebra cost more than
+the sequential chain they remove at any batch that fills the VPU
+lanes. Kept as a tested alternative (`solver.horizon_parallel`) for
+genuinely long horizons (N >> 240) or future hardware; the sequential
+sweeps stay the default everywhere.
 
 Method (temporal parallelization of LQT, a la Sarkka & Garcia-Fernandez,
 IEEE TAC 2021): each stage k contributes a *conditional value-function

@@ -106,9 +106,13 @@ class SQPSolver:
         self.warm_corrector_only = bool(
             getattr(cfg.solver, "qp_warm_corrector_only", False))
         self.warm_sigma = float(getattr(cfg.solver, "qp_warm_sigma", 0.1))
-        # Parallel-in-horizon Riccati (associative scan) — XLA path only;
-        # the fused Pallas kernel keeps the sequential sweeps (measured
-        # crossover in experiments/horizon_sweep.py).
+        # In-cycle cold retry of failed warm-dual solves (see solve_batch)
+        self.qp_retry_cold = bool(getattr(cfg.solver, "qp_retry_cold", True))
+        # Parallel-in-horizon Riccati (associative scan) — XLA path only.
+        # Measured (experiments/horizon_sweep.py, TPU, 2026-08-21): the
+        # scan is 2.6-5.9x SLOWER than the sequential sweeps at every
+        # N in 10..240 — no crossover; default off everywhere (see
+        # solver/parallel_riccati.py for the table).
         self.horizon_parallel = bool(
             getattr(cfg.solver, "horizon_parallel", False))
 
@@ -143,15 +147,19 @@ class SQPSolver:
                 platform = jax.devices()[0].platform
             except Exception:  # pragma: no cover
                 platform = "cpu"
-            # nvar <= 7: at nvar=8 (the SH-MPC slack model) the compiled
-            # kernel is NONDETERMINISTICALLY faulty on hardware — the same
-            # program flip-flops between chip faults, all-NaN results and
-            # correct answers across processes, in every scan/unroll x
-            # dispatch combination tried, while nvar<=7 configs have never
-            # faulted once (docs/PERF_NOTES.md). Until that Mosaic/XLA bug
-            # is understood, wide models take the XLA path: slower, stable.
+            # nvar <= 8 covers every stock model incl. the SH-MPC slack
+            # variant. History: on the r1/r2 kernel nvar=8 was
+            # NONDETERMINISTICALLY faulty on hardware (flip-flopping
+            # between chip faults, all-NaN and correct answers across
+            # processes) and was gated to the XLA path. After the r3
+            # refs-based VMEM refactor of _ip_solve the fault no longer
+            # reproduces: 10/10 fresh-process PASS on the real slack
+            # model (experiments/nvar8_stress.py) plus 10/10 on
+            # synthetic kernel-only QPs (experiments/nvar8_repro.py),
+            # measured 2026-08-21. nu <= 3 is the closed-form
+            # _sym_inv limit.
             backend = (
-                "pallas" if platform != "cpu" and nu <= 3 and ocp.nvar <= 7
+                "pallas" if platform != "cpu" and nu <= 3 and ocp.nvar <= 8
                 else "xla"
             )
         self.qp_backend = backend
@@ -724,10 +732,40 @@ class SQPSolver:
                     warm_duals=None) -> SolveResult:
         """Batched solve over a leading axis (T-MPC planners / scenarios).
         `warm_duals` = (lam_l [B, N+1, nrows], lam_u, ok [B]) carried from
-        the previous cycle."""
+        the previous cycle.
+
+        Warm-dual solves that FAIL are re-solved cold in the same cycle
+        (`solver.qp_retry_cold`, on by default): carried duals go stale
+        exactly when the constraint geometry shifts fast — pedestrians
+        crossing at close range — and a warm-started QP then stalls at
+        mu ~ mu0 while a cold solve of the same problem succeeds
+        (measured in the 12-ped corridor: alternating all-warm-fail /
+        all-cold-pass cycles locked the robot into a braking crawl).
+        The reference's analog is the acados wrapper's QP-memory reset
+        on failure (acados_solver_interface.cpp:186-191), which only
+        helps the NEXT cycle; one extra batched dispatch is cheap
+        enough on TPU to recover THIS cycle."""
         n = self.iterations if num_iterations is None else max(int(num_iterations), 1)
         args = (jnp.asarray(Z0, jnp.float32), jnp.asarray(P, jnp.float32),
                 jnp.asarray(xinit, jnp.float32))
-        if warm_duals is not None:
-            return self._get_compiled(n, True, True)(*args, *self._as_warm(warm_duals))
-        return self._get_compiled(n, True)(*args)
+        if warm_duals is None:
+            return self._get_compiled(n, True)(*args)
+        res = self._get_compiled(n, True, True)(*args, *self._as_warm(warm_duals))
+        if not getattr(self, "qp_retry_cold", True):
+            return res
+        failed = np.asarray(res.exit_code) != EXIT_SUCCESS
+        # Only retry elements whose warm duals were actually applied —
+        # ok=False elements already solved cold.
+        failed &= np.asarray(warm_duals[2]).astype(bool)
+        if not failed.any():
+            return res
+        cold = self._get_compiled(n, True)(*args)
+        m = jnp.asarray(failed)
+
+        def pick(w, c):
+            if w is None or c is None:
+                return w
+            mm = m.reshape((m.shape[0],) + (1,) * (w.ndim - 1))
+            return jnp.where(mm, c, w)
+
+        return SolveResult(*(pick(w, c) for w, c in zip(res, cold)))

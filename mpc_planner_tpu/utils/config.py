@@ -152,6 +152,15 @@ class SolverConfig:
     # divergence-recovery scenarios.
     qp_warm_corrector_only: bool = False
     qp_warm_sigma: float = 0.1
+    # Re-solve failed warm-dual batch elements cold in the SAME cycle
+    # (one extra dispatch, only on failure cycles). Carried duals go
+    # stale exactly when constraint geometry shifts fast; a cold solve
+    # of the same problem then succeeds where the warm one stalls at
+    # mu ~ mu0 (measured: 12-ped corridor alternating warm-fail /
+    # cold-pass lock). Reference analog: acados QP-memory reset on
+    # failure (acados_solver_interface.cpp:186-191), which only helps
+    # the NEXT cycle.
+    qp_retry_cold: bool = True
     # Swap the sequential Riccati sweeps for the associative-scan
     # (parallel-in-horizon) LQR on the XLA path: O(log N) dependent
     # combine rounds instead of O(N) stages. Worth it only for long

@@ -264,3 +264,68 @@ def test_cross_cycle_dual_warmstart_batched(cfg):
     assert np.all(np.asarray(res2.exit_code) == 1)
     np.testing.assert_allclose(np.asarray(res2.Z), np.asarray(res2_cold.Z),
                                atol=5e-3)
+
+
+def test_warm_failure_cold_retry(cfg):
+    """Failed warm-dual elements are re-solved cold in the SAME cycle
+    (solver.qp_retry_cold; the acados QP-memory-reset analog that
+    recovers this cycle instead of the next). Mechanics exercised with
+    stubbed compiled fns so the warm failure is deterministic."""
+    import jax.numpy as jnp
+
+    from mpc_planner_tpu.solver.sqp import SolveResult
+
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    xinit = np.array([state.get(n) for n in model.states])
+    B = 3
+    Z0b = np.tile(Z0[None], (B, 1, 1)).astype(np.float32)
+    Pb = np.tile(pblock.data[None], (B, 1, 1)).astype(np.float32)
+    xb = np.tile(xinit[None], (B, 1)).astype(np.float32)
+
+    real = solver.solve_batch(Z0b, Pb, xb)
+    nrows = solver.nrows
+
+    def fake_result(exit_codes, tag):
+        Bn = len(exit_codes)
+        return SolveResult(
+            Z=jnp.full((Bn, cfg.N + 1, model.nvar), tag, jnp.float32),
+            exit_code=jnp.asarray(exit_codes, jnp.int32),
+            pobj=jnp.full((Bn,), tag, jnp.float32),
+            res_eq=jnp.zeros((Bn,), jnp.float32),
+            qp_mu=jnp.zeros((Bn,), jnp.float32),
+            iters=jnp.ones((Bn,), jnp.int32),
+            lam_l=jnp.zeros((Bn, cfg.N + 1, nrows), jnp.float32),
+            lam_u=jnp.zeros((Bn, cfg.N + 1, nrows), jnp.float32),
+        )
+
+    calls = []
+
+    def stub_get_compiled(n, batched, warm=False):
+        calls.append(warm)
+        if warm:
+            return lambda *a: fake_result([-1, 1, -1], 1.0)  # warm: 0, 2 fail
+        return lambda *a: fake_result([1, 1, 1], 2.0)  # cold: all pass
+
+    solver._get_compiled = stub_get_compiled
+    ok = np.array([True, True, False])  # element 2's duals were invalid
+    warm = (np.asarray(real.lam_l), np.asarray(real.lam_u), ok)
+    res = solver.solve_batch(Z0b, Pb, xb, warm_duals=warm)
+
+    # Element 0: warm-failed with valid duals -> replaced by cold (tag 2)
+    # Element 1: warm success -> kept (tag 1)
+    # Element 2: failed but ok=False (already solved cold inside the warm
+    # call) -> NOT retried, kept as-is
+    assert calls == [True, False]
+    np.testing.assert_array_equal(np.asarray(res.exit_code), [1, 1, -1])
+    np.testing.assert_allclose(np.asarray(res.pobj), [2.0, 1.0, 1.0])
+    assert float(np.asarray(res.Z)[0, 0, 0]) == 2.0
+    assert float(np.asarray(res.Z)[1, 0, 0]) == 1.0
+
+    # Disabled flag: no retry dispatch, warm result returned verbatim
+    calls.clear()
+    solver.qp_retry_cold = False
+    res2 = solver.solve_batch(Z0b, Pb, xb, warm_duals=warm)
+    assert calls == [True]
+    np.testing.assert_array_equal(np.asarray(res2.exit_code), [-1, 1, -1])
