@@ -49,16 +49,25 @@ def main():
     from mpc_planner_tpu.utils.config import default_config
 
     def make_peds(n, seed):
+        """Crossing pedestrians in the corridor INTERIOR (the reference's
+        pedestrian_simulator corridor: agents walk across the corridor,
+        the goal region stays clear — mpc_planner_jackalsimulator
+        README corridor GIF). Goals on the far side make them re-cross."""
         rng = np.random.default_rng(seed)
-        return [
-            Pedestrian(
-                position=np.array([rng.uniform(4, 24), rng.uniform(-2.5, 2.5)]),
-                velocity=np.array([rng.uniform(-0.6, 0.3), rng.uniform(-0.9, 0.9)]),
+        peds = []
+        for _ in range(n):
+            x = rng.uniform(4.0, 20.0)
+            y = rng.uniform(-2.5, 2.5)
+            vy = rng.uniform(0.3, 0.9) * (1 if rng.random() < 0.5 else -1)
+            wp_a = np.array([x + rng.uniform(-2.0, 2.0), 3.0 * np.sign(vy)])
+            wp_b = np.array([x + rng.uniform(-2.0, 2.0), -3.0 * np.sign(vy)])
+            peds.append(Pedestrian(
+                position=np.array([x, y]),
+                velocity=np.array([rng.uniform(-0.3, 0.3), vy]),
                 radius=0.4,
-                goal=np.array([rng.uniform(0, 28), rng.uniform(-3, 3)]),
-            )
-            for _ in range(n)
-        ]
+                waypoints=[wp_a, wp_b],  # cyclic crossing, pedsim-style
+            ))
+        return peds
 
     xs = np.linspace(0, 25, 14)
     path = {"x": xs, "y": np.zeros_like(xs)}

@@ -30,6 +30,11 @@ class Pedestrian:
     velocity: np.ndarray
     radius: float = 0.4
     goal: Optional[np.ndarray] = None
+    # Optional cyclic waypoint list (pedsim agents walk waypoints in a
+    # loop — a goal-reached pedestrian keeps moving instead of parking
+    # at its goal, possibly in contact with a stopped robot).
+    waypoints: Optional[List[np.ndarray]] = None
+    _wp_index: int = 0
 
 
 @dataclass
@@ -92,6 +97,12 @@ class ClosedLoopSimulator:
 
     def _step_pedestrians(self, dt: float, robot_position=None) -> None:
         for p in self.pedestrians:
+            if p.waypoints:
+                # Cyclic waypoints (pedsim behavior): advance on arrival.
+                p.goal = p.waypoints[p._wp_index % len(p.waypoints)]
+                if np.linalg.norm(p.goal - p.position) < 0.4:
+                    p._wp_index += 1
+                    p.goal = p.waypoints[p._wp_index % len(p.waypoints)]
             if self.social_forces:
                 # Light social-forces: goal attraction + pairwise repulsion
                 force = np.zeros(2)

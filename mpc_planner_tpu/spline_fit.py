@@ -234,14 +234,32 @@ class PathSpline2D:
         at `start_segment` (clamped at the end like the reference upload in
         contouring.cpp:50-124).
 
+        Slots BEYOND the final real segment upload a constant segment
+        pinned at the path end (a=b=c=0, d=end, s_start=length): the
+        traced reference then SATURATES at the end point instead of
+        cubic-extrapolating the last segment. Extrapolation let the
+        in-solver reference bend arbitrarily once the ego s-state passed
+        the path end — measured in the 12-ped corridor: a robot that
+        brushed past the 1 m completion ball chased the extrapolated
+        curve 13 m off-corridor. With saturation, contour/lag pull it
+        back to the end point.
+
         Returns dict with keys ax, bx, cx, dx, ay, by, cy, dy, s_start —
         each [num_segments].
         """
-        idx = [min(start_segment + i, self.n_segments - 1) for i in range(num_segments)]
-        cx = self.sx.coeffs[idx]
-        cy = self.sy.coeffs[idx]
+        last = self.n_segments - 1
+        idx = [min(start_segment + i, last) for i in range(num_segments)]
+        cx = self.sx.coeffs[idx].copy()
+        cy = self.sy.coeffs[idx].copy()
+        s_start = np.asarray(self.sx.t[idx], dtype=float).copy()
+        end = self.at(self.length)
+        for i in range(num_segments):
+            if start_segment + i > last:
+                cx[i] = (0.0, 0.0, 0.0, end[0])
+                cy[i] = (0.0, 0.0, 0.0, end[1])
+                s_start[i] = self.length
         return {
             "ax": cx[:, 0], "bx": cx[:, 1], "cx": cx[:, 2], "dx": cx[:, 3],
             "ay": cy[:, 0], "by": cy[:, 1], "cy": cy[:, 2], "dy": cy[:, 3],
-            "s_start": self.sx.t[idx],
+            "s_start": s_start,
         }
