@@ -520,11 +520,22 @@ def _qp_kernel(
         # regularization here instead of in an XLA segment before the
         # kernel — saves the per-RTI-iteration Jacobi pass + its HBM
         # round trip (the in-kernel sweep is identical arithmetic to
-        # ops/jacobi_eigh.py::mirror_unpacked).
-        Hm_ref[...] = _mirror_nvar_lanes(H_ref[...], lm, nu, nx, mirror_x_only)
-        H_use = Hm_ref
-    else:
-        H_use = H_ref
+        # ops/jacobi_eigh.py::mirror_unpacked). Two scoped-VMEM tricks
+        # make this fit alongside G=8 unrolled block programs:
+        # (1) the result is written back INTO the input ref (each
+        # pallas_call owns a VMEM copy of H, so overwriting is safe) —
+        # no full-size mirrored-H value or scratch;
+        # (2) the Jacobi runs in STAGE CHUNKS, capping the sweep's
+        # SSA live set (element-unpacked carries scale with the stage
+        # count) at a fraction of the whole-horizon pass.
+        ch = 7
+        for c0 in range(0, N + 1, ch):
+            c1 = min(c0 + ch, N + 1)
+            H_ref[c0:c1] = _mirror_nvar_lanes(
+                H_ref[c0:c1], lm, nu, nx, mirror_x_only
+            )
+    H_use = H_ref
+    del Hm_ref  # retired scratch slot (kept 1-element for ABI stability)
     warm = (
         (wl_ref[...], wu_ref[...], wok_ref[0, :] > 0) if use_warm else None
     )
@@ -648,11 +659,9 @@ def solve_qp_pallas(
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # coef
             pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_stat
             pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e carry (D zeta)
-            # mirrored H (only written when mirror_in_kernel)
-            pltpu.VMEM(
-                (Np1, nvar, nvar, LANES) if mirror_in_kernel else (1, 1, 1, LANES),
-                jnp.float32,
-            ),
+            # retired: the in-kernel MIRROR now writes back into the H
+            # input ref (its per-call VMEM copy) instead of a scratch
+            pltpu.VMEM((1, 1, 1, LANES), jnp.float32),
     ]
 
     call = pl.pallas_call(

@@ -129,7 +129,12 @@ class SolverConfig:
     solver_type: str = "SQP_RTI"  # or "SQP"
     tol_stationarity: float = 1e-3  # ref settings.yaml tolstat
     tol_eq_residual: float = 1e-2  # res_eq failure check (ref acados_solver_interface.cpp:176-181)
-    hessian_approx: str = "EXACT_MIRROR"  # or "GAUSS_NEWTON"
+    # Hessian handling is EXACT + MIRROR regularization, matching what
+    # the reference's acados backend generates (EXTERNAL cost => exact
+    # Hessian, MIRROR regularize_method — generate_acados_solver.py:
+    # 143-176). A Gauss-Newton option would need modules to expose
+    # residual vectors instead of scalar costs; no such flag is offered
+    # until it exists.
     # MIRROR block structure: "auto" probes whether the cost's u-block is
     # diagonal and u-x decoupled (true for all stock modules) and then
     # eigendecomposes only the x-block; "full" forces dense nvar x nvar.
