@@ -146,6 +146,15 @@ def make_rungs():
     state, data = corridor_scene(cfg, n_pedestrians=8)
     rungs.append(("shmpc-slack", cfg, model, mgr, state, data))
 
+    # 8. T-MPC++ at N=30 — the reference jackalsimulator's actual
+    # horizon (settings.yaml:2-3, N=30 @ dt=0.2). Compiles thanks to the
+    # raised scoped-VMEM cap set at package import (mpc_planner_tpu/
+    # __init__.py; docs/PERF_NOTES.md).
+    cfg = default_config(N=30)
+    model, mgr = configuration_tmpc(cfg)
+    state, data = corridor_scene(cfg, n_pedestrians=8)
+    rungs.append(("tmpc-n30", cfg, model, mgr, state, data))
+
     return rungs
 
 

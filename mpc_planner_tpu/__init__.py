@@ -23,6 +23,24 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
   sim/              — pure-JAX closed-loop simulator (replaces Gazebo)
 """
 
+import os as _os
+
+# Raise libtpu's scoped-VMEM cap (default 16 MB) before the TPU runtime
+# initializes: the QP kernel is a whole-VMEM program whose stack-living
+# intermediates exceed the default at long horizons (N=30, the
+# reference jackalsimulator config, needs ~17 MB; measured 2026-08-21 —
+# docs/PERF_NOTES.md). `pltpu.CompilerParams(vmem_limit_bytes=...)` does
+# NOT move this limit in the current libtpu; only the init flag does.
+# No-op if the user already set the flag or libtpu is already loaded.
+if "--xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get(
+    "LIBTPU_INIT_ARGS", ""
+):
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _os.environ.get("LIBTPU_INIT_ARGS", "")
+        + " --xla_tpu_scoped_vmem_limit_kib=32768"
+    ).strip()
+del _os
+
 from mpc_planner_tpu.utils.config import Config, default_config
 from mpc_planner_tpu.types import (
     Disc,

@@ -269,26 +269,34 @@ def _ip_solve(
         return Hb
 
     def ip_body(_, mu_prev_unused):
-        # Masks re-derived from the bound refs each iteration: two loads
-        # + compares per iteration buys lb/ub/ml/mu_mask OUT of the
-        # cross-loop live set (4x [N+1, nrows, LANES] on the scoped
-        # stack for the whole fori_loop otherwise).
-        ml = (lb_ref[...] > -1e14).astype(f32)
-        mu_mask = (ub_ref[...] < 1e14).astype(f32)
-        s_l = s_l_ref[...]
-        s_u = s_u_ref[...]
-        lam_l = lam_l_ref[...]
-        lam_u = lam_u_ref[...]
-        zeta = zeta_ref[...]
+        # SCOPED-VMEM DISCIPLINE: every large operand is read from its
+        # ref AT THE USE SITE (helpers below), never loaded once into a
+        # body-wide local — a value held across the predictor/corrector
+        # solves sits on the Mosaic scoped stack for the whole body.
+        # This is what lets N=30 (the reference's jackalsimulator
+        # horizon) compile: body-top loads of s/lam/masks alone were
+        # ~2 MB of cross-phase liveness at N=30 (docs/PERF_NOTES.md).
+        def _ml():
+            return (lb_ref[...] > -1e14).astype(f32)
 
-        mu = (jnp.sum(s_l * lam_l * ml, axis=(0, 1)) + jnp.sum(s_u * lam_u * mu_mask, axis=(0, 1))) / n_active  # [L]
+        def _mu_m():
+            return (ub_ref[...] < 1e14).astype(f32)
+
+        mu = (
+            jnp.sum(s_l_ref[...] * lam_l_ref[...] * _ml(), axis=(0, 1))
+            + jnp.sum(s_u_ref[...] * lam_u_ref[...] * _mu_m(), axis=(0, 1))
+        ) / n_active  # [L]
         converged = mu < _MU_FREEZE
 
         # rho_l/rho_u (slack residuals vs the carried e = D zeta) are
         # recomputed from refs inside linear_solve rather than held here
         # across both predictor and corrector calls — two fewer
         # [N+1, nrows, LANES] buffers on the scoped stack.
-        w_ref[...] = jnp.clip(ml * lam_l / s_l + mu_mask * lam_u / s_u, 0.0, _W_MAX)
+        w_ref[...] = jnp.clip(
+            _ml() * lam_l_ref[...] / s_l_ref[...]
+            + _mu_m() * lam_u_ref[...] / s_u_ref[...],
+            0.0, _W_MAX,
+        )
 
         # --- Riccati factorization (backward) --------------------------
         P_term = hbar_stage(N)[nu:, nu:]
@@ -314,6 +322,8 @@ def _ip_solve(
         jax.lax.fori_loop(0, N, factor_body, P_term)
 
         # equality residual at current iterate
+        # zeta read just for the residual/gradient refresh; dies after gst
+        zeta = zeta_ref[...]
         zx = zeta[:-1, nu:, :]
         zu = zeta[:-1, :nu, :]
         req_ref[...] = (
@@ -333,18 +343,18 @@ def _ip_solve(
             to keep the scoped-VMEM stack small."""
             e = ecar_ref[...]
             return (
-                (e - lb_ref[...] - s_l) * ml,
-                (ub_ref[...] - e - s_u) * mu_mask,
+                (e - lb_ref[...] - s_l_ref[...]) * _ml(),
+                (ub_ref[...] - e - s_u_ref[...]) * _mu_m(),
             )
 
         def linear_solve(rc_l, rc_u):
             """Newton direction for given complementarity targets."""
             rho_l, rho_u = rho()
             coef_ref[...] = (
-                -ml * lam_l
-                + mu_mask * lam_u
-                - ml * (rc_l - lam_l * rho_l) / s_l
-                + mu_mask * (rc_u - lam_u * rho_u) / s_u
+                -_ml() * lam_l_ref[...]
+                + _mu_m() * lam_u_ref[...]
+                - _ml() * (rc_l - lam_l_ref[...] * rho_l) / s_l_ref[...]
+                + _mu_m() * (rc_u - lam_u_ref[...] * rho_u) / s_u_ref[...]
             )  # [N+1, nrows, L]
 
             def gb_body(k, _):
@@ -395,10 +405,10 @@ def _ip_solve(
             jax.lax.fori_loop(0, N + 1, ddz_body, 0)
             Ddz = e_ref[...]
             rho_l, rho_u = rho()  # recompute; not live across the sweeps
-            ds_l = (Ddz + rho_l) * ml
-            ds_u = (rho_u - Ddz) * mu_mask
-            dl_l = ((rc_l - lam_l * ds_l) / s_l) * ml
-            dl_u = ((rc_u - lam_u * ds_u) / s_u) * mu_mask
+            ds_l = (Ddz + rho_l) * _ml()
+            ds_u = (rho_u - Ddz) * _mu_m()
+            dl_l = ((rc_l - lam_l_ref[...] * ds_l) / s_l_ref[...]) * _ml()
+            dl_u = ((rc_u - lam_u_ref[...] * ds_u) / s_u_ref[...]) * _mu_m()
             # dz stays in dzt_ref — the caller reads it at its use site
             # (the predictor never needs it; materializing it there kept
             # a dead [N+1, nvar, L] value on the stack).
@@ -411,21 +421,27 @@ def _ip_solve(
         if mehrotra:
             # predictor
             ds_l_a, ds_u_a, dl_l_a, dl_u_a = linear_solve(
-                (-s_l * lam_l) * ml, (-s_u * lam_u) * mu_mask
+                (-s_l_ref[...] * lam_l_ref[...]) * _ml(),
+                (-s_u_ref[...] * lam_u_ref[...]) * _mu_m(),
             )
-            apa = jnp.minimum(ftb(s_l, ds_l_a, ml, 1.0), ftb(s_u, ds_u_a, mu_mask, 1.0))
-            ada = jnp.minimum(ftb(lam_l, dl_l_a, ml, 1.0), ftb(lam_u, dl_u_a, mu_mask, 1.0))
+            apa = jnp.minimum(ftb(s_l_ref[...], ds_l_a, _ml(), 1.0),
+                              ftb(s_u_ref[...], ds_u_a, _mu_m(), 1.0))
+            ada = jnp.minimum(ftb(lam_l_ref[...], dl_l_a, _ml(), 1.0),
+                              ftb(lam_u_ref[...], dl_u_a, _mu_m(), 1.0))
             mu_aff = (
-                jnp.sum((s_l + apa * ds_l_a) * (lam_l + ada * dl_l_a) * ml, axis=(0, 1))
-                + jnp.sum((s_u + apa * ds_u_a) * (lam_u + ada * dl_u_a) * mu_mask, axis=(0, 1))
+                jnp.sum((s_l_ref[...] + apa * ds_l_a)
+                        * (lam_l_ref[...] + ada * dl_l_a) * _ml(), axis=(0, 1))
+                + jnp.sum((s_u_ref[...] + apa * ds_u_a)
+                          * (lam_u_ref[...] + ada * dl_u_a) * _mu_m(),
+                          axis=(0, 1))
             ) / n_active
             sigma = jnp.clip((mu_aff / (mu + 1e-30)) ** 3, 0.0, 1.0)
 
             # corrector
             smu = _ed(_ed(sigma * mu, 0), 0)
             ds_l, ds_u, dl_l, dl_u = linear_solve(
-                (smu - s_l * lam_l - ds_l_a * dl_l_a) * ml,
-                (smu - s_u * lam_u - ds_u_a * dl_u_a) * mu_mask,
+                (smu - s_l_ref[...] * lam_l_ref[...] - ds_l_a * dl_l_a) * _ml(),
+                (smu - s_u_ref[...] * lam_u_ref[...] - ds_u_a * dl_u_a) * _mu_m(),
             )
         else:
             # plain path-following: single centered Newton step (warm QPs
@@ -433,11 +449,13 @@ def _ip_solve(
             # isn't worth a second backward/forward substitution sweep)
             smu = _ed(_ed(sigma_fixed * mu, 0), 0)
             ds_l, ds_u, dl_l, dl_u = linear_solve(
-                (smu - s_l * lam_l) * ml,
-                (smu - s_u * lam_u) * mu_mask,
+                (smu - s_l_ref[...] * lam_l_ref[...]) * _ml(),
+                (smu - s_u_ref[...] * lam_u_ref[...]) * _mu_m(),
             )
-        a_p = jnp.minimum(ftb(s_l, ds_l, ml, tau), ftb(s_u, ds_u, mu_mask, tau))
-        a_d = jnp.minimum(ftb(lam_l, dl_l, ml, tau), ftb(lam_u, dl_u, mu_mask, tau))
+        a_p = jnp.minimum(ftb(s_l_ref[...], ds_l, _ml(), tau),
+                          ftb(s_u_ref[...], ds_u, _mu_m(), tau))
+        a_d = jnp.minimum(ftb(lam_l_ref[...], dl_l, _ml(), tau),
+                          ftb(lam_u_ref[...], dl_u, _mu_m(), tau))
 
         dz = dzt_ref[...]  # the corrector's primal direction
         bad = converged | (mu > 1e6) | ~jnp.isfinite(mu)
@@ -458,8 +476,8 @@ def _ip_solve(
         a_p = _ed(_ed(a_p, 0), 0)
         a_d = _ed(_ed(a_d, 0), 0)
 
-        # zeta re-read at the use site (not the body-top load) so it is
-        # not live across the predictor/corrector solves.
+        # Every update reads its ref's OLD value at the use site and
+        # writes the new one; refs are distinct so ordering is safe.
         zeta_up = zeta_ref[...]
         zeta_ref[...] = jnp.where(frz, zeta_up, zeta_up + a_p * dz)
         # e_ref holds the (final) corrector's D dz from ddz_body; the
@@ -468,21 +486,25 @@ def _ip_solve(
         ecar_ref[...] = jnp.where(frz, e, e + a_p * e_ref[...])
         # Frozen lanes keep their current s/lam, which already satisfy
         # the mask invariants (s == 1, lam == 0 on inactive rows).
+        s_l = s_l_ref[...]
         s_l_ref[...] = jnp.where(
             frz, s_l,
-            jnp.where(ml > 0, jnp.maximum(s_l + a_p * ds_l, _S_MIN), 1.0),
+            jnp.where(_ml() > 0, jnp.maximum(s_l + a_p * ds_l, _S_MIN), 1.0),
         )
+        s_u = s_u_ref[...]
         s_u_ref[...] = jnp.where(
             frz, s_u,
-            jnp.where(mu_mask > 0, jnp.maximum(s_u + a_p * ds_u, _S_MIN), 1.0),
+            jnp.where(_mu_m() > 0, jnp.maximum(s_u + a_p * ds_u, _S_MIN), 1.0),
         )
+        lam_l = lam_l_ref[...]
         lam_l_ref[...] = jnp.where(
             frz, lam_l,
-            jnp.where(ml > 0, jnp.clip(lam_l + a_d * dl_l, 0.0, _W_MAX), 0.0),
+            jnp.where(_ml() > 0, jnp.clip(lam_l + a_d * dl_l, 0.0, _W_MAX), 0.0),
         )
+        lam_u = lam_u_ref[...]
         lam_u_ref[...] = jnp.where(
             frz, lam_u,
-            jnp.where(mu_mask > 0, jnp.clip(lam_u + a_d * dl_u, 0.0, _W_MAX), 0.0),
+            jnp.where(_mu_m() > 0, jnp.clip(lam_u + a_d * dl_u, 0.0, _W_MAX), 0.0),
         )
         return mu_prev_unused
 

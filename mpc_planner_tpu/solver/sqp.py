@@ -699,6 +699,28 @@ class SQPSolver:
         return (jnp.asarray(wl, jnp.float32), jnp.asarray(wu, jnp.float32),
                 jnp.asarray(ok, bool))
 
+    def bound_limited_vars(self, Z, tol: float = 1e-2):
+        """Variables within `tol` of a box bound at the solution — the
+        acados wrapper's printIfBoundLimited debug
+        (acados_solver_interface.cpp:426-446). Z [N+1, nvar]; returns
+        a list of (stage, name, "lower"|"upper"). Stage-0 states are
+        skipped (pinned to xinit, like the reference's k==0 'x' skip)."""
+        ocp = self.ocp
+        Z = np.asarray(Z)
+        lb = np.asarray(ocp.lb_z, dtype=float)
+        ub = np.asarray(ocp.ub_z, dtype=float)
+        names = list(ocp.model.inputs) + list(ocp.model.states)
+        hits = []
+        for k in range(Z.shape[0]):
+            for j, name in enumerate(names):
+                if k == 0 and j >= ocp.nu:
+                    continue
+                if np.isfinite(lb[j]) and abs(Z[k, j] - lb[j]) < tol:
+                    hits.append((k, name, "lower"))
+                if np.isfinite(ub[j]) and abs(Z[k, j] - ub[j]) < tol:
+                    hits.append((k, name, "upper"))
+        return hits
+
     def solve(self, Z0, P, xinit, num_iterations: Optional[int] = None,
               warm_duals=None) -> SolveResult:
         """Single solve. Z0 [N+1, nvar] warmstart, P [N+1, npar], xinit [nx].

@@ -329,3 +329,24 @@ def test_warm_failure_cold_retry(cfg):
     res2 = solver.solve_batch(Z0b, Pb, xb, warm_duals=warm)
     assert calls == [True]
     np.testing.assert_array_equal(np.asarray(res2.exit_code), [-1, 1, -1])
+
+
+def test_bound_limited_vars(cfg):
+    """printIfBoundLimited parity (acados_solver_interface.cpp:426-446):
+    variables near a box bound at the solution are reported by name."""
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    xinit = np.array([state.get(n) for n in model.states])
+    res = solver.solve(Z0, pblock.data, xinit)
+    Z = np.asarray(res.Z).copy()
+    # Pin one input to its lower bound artificially
+    lb_a = float(np.asarray(ocp.lb_z)[0])
+    Z[3, 0] = lb_a
+    hits = solver.bound_limited_vars(Z)
+    assert any(k == 3 and name == model.inputs[0] and side == "lower"
+               for k, name, side in hits), hits
+    # Stage-0 states are skipped even at their bounds
+    Z[0, model.nu] = float(np.asarray(ocp.lb_z)[model.nu])
+    assert not any(k == 0 and name in model.states
+                   for k, name, _ in solver.bound_limited_vars(Z))
