@@ -1,4 +1,4 @@
-"""TPU smoke check: compile + run 1 batch on all six config-ladder rungs.
+"""TPU smoke check: compile + run 1 batch on every config-ladder rung.
 
 Run BEFORE every end-of-round snapshot (VERDICT r2 task 1). Exits nonzero
 on any compile failure or NaN. Fast: B=128 (one lane block), 2 RTI
