@@ -35,10 +35,39 @@ import os as _os
 if "--xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get(
     "LIBTPU_INIT_ARGS", ""
 ):
-    _os.environ["LIBTPU_INIT_ARGS"] = (
-        _os.environ.get("LIBTPU_INIT_ARGS", "")
-        + " --xla_tpu_scoped_vmem_limit_kib=32768"
-    ).strip()
+    import sys as _sys
+
+    # LIBTPU_INIT_ARGS is consumed when the TPU *client* initializes
+    # (plugin module import alone does not), so the append is only
+    # ineffective once a tpu backend already exists.
+    def _tpu_client_initialized() -> bool:
+        bridge = _sys.modules.get("jax._src.xla_bridge")
+        backends = getattr(bridge, "_backends", None) or {}
+        return "tpu" in backends
+
+    if _tpu_client_initialized():
+        # libtpu reads LIBTPU_INIT_ARGS once at runtime init: appending
+        # after jax's backend bindings are loaded is silently ineffective
+        # (ADVICE r3). The user must set the env var before importing
+        # jax, or export it in the environment.
+        import warnings as _warnings
+
+        _warnings.warn(
+            "mpc_planner_tpu imported after jax/libtpu initialization: "
+            "--xla_tpu_scoped_vmem_limit_kib=32768 cannot be applied. "
+            "Long-horizon (N=30) TPU kernels may fail to compile; set "
+            "LIBTPU_INIT_ARGS='--xla_tpu_scoped_vmem_limit_kib=32768' "
+            "in the environment before starting Python (override the "
+            "value the same way if you need a different cap).",
+            stacklevel=2,
+        )
+        del _warnings
+    else:
+        _os.environ["LIBTPU_INIT_ARGS"] = (
+            _os.environ.get("LIBTPU_INIT_ARGS", "")
+            + " --xla_tpu_scoped_vmem_limit_kib=32768"
+        ).strip()
+    del _sys, _tpu_client_initialized
 del _os
 
 from mpc_planner_tpu.utils.config import Config, default_config

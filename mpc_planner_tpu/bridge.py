@@ -75,6 +75,21 @@ def default_address() -> str:
         tempfile.gettempdir(), f"mpc_planner_tpu-{os.getuid()}"
     )
     os.makedirs(run_dir, mode=0o700, exist_ok=True)
+    # XDG_RUNTIME_DIR-style ownership check: the path is predictable, so
+    # refuse a directory (or symlink) pre-created by another local user
+    # with a CLEAR error instead of an opaque chmod PermissionError
+    # (ADVICE r3).
+    st = os.lstat(run_dir)
+    if not stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"runtime dir {run_dir!r} exists but is not a real directory "
+            "(symlink squatting?) — remove it or set an explicit address"
+        )
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"runtime dir {run_dir!r} is owned by uid {st.st_uid}, not "
+            f"{os.getuid()} — remove it or set an explicit address"
+        )
     os.chmod(run_dir, 0o700)
     return os.path.join(run_dir, "planner.sock")
 

@@ -28,6 +28,7 @@ class HostPrediction:
     major: np.ndarray = None  # [modes, N] (std dev for GAUSSIAN)
     minor: np.ndarray = None  # [modes, N]
     probabilities: np.ndarray = None  # [modes]
+    propagated: bool = False  # uncertainty already accumulated over the horizon
 
 
 @dataclass
@@ -61,6 +62,7 @@ class ObstacleBlock:
     pred_type: np.ndarray  # [M] int
     index: np.ndarray  # [M] int (-1 = dummy)
     modes_position: Optional[np.ndarray] = None  # [M, K, N, 2]
+    modes_angle: Optional[np.ndarray] = None  # [M, K, N]
     modes_major: Optional[np.ndarray] = None  # [M, K, N]
     modes_minor: Optional[np.ndarray] = None  # [M, K, N]
     modes_prob: Optional[np.ndarray] = None  # [M, K]
@@ -160,9 +162,13 @@ def ensure_obstacle_size(
 
 def propagate_prediction_uncertainty(pred: HostPrediction, dt: float, N: int) -> None:
     """sigma_{k+1} = sqrt(sigma_k^2 + (sigma*dt)^2) accumulation
-    (ref data_preparation.cpp:170-186)."""
-    if pred.type != int(PredictionType.GAUSSIAN):
+    (ref data_preparation.cpp:170-186). Idempotent via the `propagated`
+    flag so the blanket post-conversion pass (the reference propagates
+    ALL predictions after conversion) does not double-apply to
+    constant-velocity predictions propagated at construction."""
+    if pred.type != int(PredictionType.GAUSSIAN) or pred.propagated:
         return
+    pred.propagated = True
     for m in range(pred.major.shape[0]):
         major = minor = 0.0
         for k in range(min(N, pred.major.shape[1])):
@@ -200,6 +206,7 @@ def pack_obstacles(obstacles: List[HostObstacle], N: int) -> ObstacleBlock:
     )
     if K > 1:
         blk.modes_position = np.zeros((M, K, N, 2))
+        blk.modes_angle = np.zeros((M, K, N))
         blk.modes_major = np.zeros((M, K, N))
         blk.modes_minor = np.zeros((M, K, N))
         blk.modes_prob = np.zeros((M, K))
@@ -229,10 +236,12 @@ def pack_obstacles(obstacles: List[HostObstacle], N: int) -> ObstacleBlock:
             for k in range(K):
                 src = k if k < k_o else best  # pad by repeating the best mode
                 blk.modes_position[i, k, :n] = o.prediction.positions[src, :n]
+                blk.modes_angle[i, k, :n] = o.prediction.angles[src, :n]
                 blk.modes_major[i, k, :n] = o.prediction.major[src, :n]
                 blk.modes_minor[i, k, :n] = o.prediction.minor[src, :n]
                 if n < N:
                     blk.modes_position[i, k, n:] = blk.modes_position[i, k, n - 1]
+                    blk.modes_angle[i, k, n:] = blk.modes_angle[i, k, n - 1]
                     blk.modes_major[i, k, n:] = blk.modes_major[i, k, n - 1]
                     blk.modes_minor[i, k, n:] = blk.modes_minor[i, k, n - 1]
                 blk.modes_prob[i, k] = (

@@ -50,8 +50,21 @@ class PathReferenceVelocityModule(ObjectiveModule):
         n = self.num_segments
         if self.velocity_spline is not None:
             start = max(module_data.current_path_segment, 0)
-            idx = [min(start + i, self.velocity_spline.n_segments - 1) for i in range(n)]
-            coeffs = self.velocity_spline.coeffs[idx]  # [n, 4]
+            last = self.velocity_spline.n_segments - 1
+            # Past-end slots share the path spline's s_start=length pin
+            # (spline_fit.segment_param_arrays), so their cubic is
+            # evaluated at ds = s - length: pad with a CONSTANT segment
+            # at the path-end velocity (same pattern as the contouring
+            # width pad) instead of duplicating the last segment's
+            # coefficients, which would return v at that segment's START.
+            v_end = float(self.velocity_spline(self.velocity_spline.t[-1]))
+            coeffs = np.zeros((n, 4))
+            for i in range(n):
+                index = start + i
+                if index <= last:
+                    coeffs[i] = self.velocity_spline.coeffs[index]
+                else:
+                    coeffs[i] = [0.0, 0.0, 0.0, v_end]
             for j, coef in enumerate("abcd"):
                 pblock.set_bundle_all_stages(f"spline_v_{coef}", coeffs[:, j])
         else:

@@ -57,13 +57,16 @@ def _device_scenario_halfspaces(key, pred_position, pred_angle, pred_major,
     return a1.T[kk, idx], a2.T[kk, idx], b.T[kk, idx]
 
 
-def _device_scenario_halfspaces_mm(key, modes_position, modes_major, modes_minor,
-                                   modes_logprob, radius, p_ws, robot_r,
+def _device_scenario_halfspaces_mm(key, modes_position, modes_angle, modes_major,
+                                   modes_minor, modes_logprob, radius, p_ws, robot_r,
                                    n_constraints: int, n_samples: int):
     """Multi-modal (GMM / non-Gaussian) variant: draw a mode per sample by
     probability, then Gaussian noise around that mode (the reference's
     scenario_module samples non-Gaussian predictions the same way;
-    ref data_types.h Prediction{modes, probabilities})."""
+    ref data_types.h Prediction{modes, probabilities}). The noise is
+    rotated into the selected mode's frame (`modes_angle`) so anisotropic
+    major/minor uncertainty keeps its orientation per mode, matching the
+    single-mode variant."""
     import jax
     import jax.numpy as jnp
 
@@ -73,11 +76,17 @@ def _device_scenario_halfspaces_mm(key, modes_position, modes_major, modes_minor
     mode_idx = jax.random.categorical(k_mode, modes_logprob, axis=-1, shape=(S, M))
     # Gather per-sample mode tracks: [S, M, N-1(,2)]
     pos = modes_position[jnp.arange(M)[None, :], mode_idx]
+    ang = modes_angle[jnp.arange(M)[None, :], mode_idx]
     maj = modes_major[jnp.arange(M)[None, :], mode_idx]
     mino = modes_minor[jnp.arange(M)[None, :], mode_idx]
 
     noise = jax.random.normal(k_noise, (S, M, Nm1, 2))
-    samples = pos + jnp.stack([noise[..., 0] * maj, noise[..., 1] * mino], axis=-1)
+    cos_a, sin_a = jnp.cos(ang), jnp.sin(ang)
+    ex = noise[..., 0] * maj
+    ey = noise[..., 1] * mino
+    dx = cos_a * ex - sin_a * ey
+    dy = sin_a * ex + cos_a * ey
+    samples = pos + jnp.stack([dx, dy], axis=-1)
 
     flat = samples.reshape(S * M, Nm1, 2)
     diff = flat - p_ws[None]
@@ -196,16 +205,22 @@ class ScenarioConstraintModule(ConstraintModule):
                 _device_scenario_halfspaces_mm if multi_modal else _device_scenario_halfspaces,
                 n_constraints=nC, n_samples=S,
             )
+            n_data_args = 8 if multi_modal else 7
             self._sampler = jax.jit(
-                jax.vmap(fn, in_axes=(0, None, None, None, None, None, None, None))
+                jax.vmap(fn, in_axes=(0,) + (None,) * n_data_args)
             )
             self._sampler_mm = multi_modal
         keys = jax.random.split(jax.random.PRNGKey(self._sample_seed), B)
         if multi_modal:
             logprob = _np.log(_np.maximum(blk.modes_prob, 1e-12))
+            modes_angle = (
+                blk.modes_angle if blk.modes_angle is not None
+                else _np.zeros_like(blk.modes_major)
+            )
             sel_a1, sel_a2, sel_b = self._sampler(
                 keys,
                 jnp.asarray(blk.modes_position[:, :, : N - 1], jnp.float32),
+                jnp.asarray(modes_angle[:, :, : N - 1], jnp.float32),
                 jnp.asarray(blk.modes_major[:, :, : N - 1], jnp.float32),
                 jnp.asarray(blk.modes_minor[:, :, : N - 1], jnp.float32),
                 jnp.asarray(logprob, jnp.float32),

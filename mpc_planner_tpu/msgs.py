@@ -72,19 +72,57 @@ class ObstacleGMMMsg:
         )
 
     def to_raw_obstacle(self) -> dict:
-        """-> the `systems.convert_obstacle_messages` input schema, using
-        the highest-probability mode (the reference's single-mode
-        conversion, ros1_jackalsimulator.cpp:302-339)."""
+        """-> the `systems.convert_obstacle_messages` input schema,
+        carrying ALL modes (the reference jackalsimulator converts only
+        the first, ros1_jackalsimulator.cpp:302-339; this framework
+        advertises GMM SH-MPC, so the full mixture flows through —
+        modes ride a leading K axis, short modes are padded by
+        repetition at pack time).
+
+        Per-step mode headings are derived from each mean path's finite
+        differences so anisotropic uncertainty stays aligned with the
+        mode's direction of travel in the multi-modal scenario sampler.
+        """
         raw = {"id": self.id, "position": [self.pose_x, self.pose_y],
                "angle": self.pose_psi, "radius": self.radius}
-        if self.gaussians:
-            probs = self.probabilities or [1.0] * len(self.gaussians)
-            g = self.gaussians[int(np.argmax(probs))]
-            raw["prediction"] = {
-                "positions": np.stack([g.mean_x, g.mean_y], axis=-1),
-                "major": np.asarray(g.major_semiaxis, dtype=float),
-                "minor": np.asarray(g.minor_semiaxis, dtype=float),
-            }
+        if not self.gaussians:
+            return raw
+        K = len(self.gaussians)
+        n = max(len(g.mean_x) for g in self.gaussians)
+
+        def _pad(a, n):
+            a = np.asarray(a, dtype=float)
+            if a.shape[0] >= n:
+                return a[:n]
+            if a.shape[0] == 0:
+                return np.zeros(n)
+            return np.concatenate([a, np.repeat(a[-1:], n - a.shape[0], axis=0)])
+
+        positions = np.stack(
+            [np.stack([_pad(g.mean_x, n), _pad(g.mean_y, n)], axis=-1)
+             for g in self.gaussians]
+        )  # [K, n, 2]
+        angles = np.zeros((K, n))
+        for k in range(K):
+            d = np.diff(positions[k], axis=0)
+            if n > 1:
+                step = np.arctan2(d[:, 1], d[:, 0])
+                still = np.hypot(d[:, 0], d[:, 1]) < 1e-9
+                step = np.where(still, self.pose_psi, step)
+                angles[k, :-1] = step
+                angles[k, -1] = step[-1]
+            else:
+                angles[k, :] = self.pose_psi
+        raw["prediction"] = {
+            "positions": positions,
+            "angles": angles,
+            "major": np.stack([_pad(g.major_semiaxis, n) for g in self.gaussians]),
+            "minor": np.stack([_pad(g.minor_semiaxis, n) for g in self.gaussians]),
+            "probabilities": np.asarray(
+                self.probabilities if self.probabilities else [1.0 / K] * K,
+                dtype=float,
+            ),
+        }
         return raw
 
 

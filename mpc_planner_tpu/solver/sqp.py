@@ -775,14 +775,20 @@ class SQPSolver:
         res = self._get_compiled(n, True, True)(*args, *self._as_warm(warm_duals))
         if not getattr(self, "qp_retry_cold", True):
             return res
-        failed = np.asarray(res.exit_code) != EXIT_SUCCESS
+        # Retry only hard FAILURES: in SQP mode exit_code 0 means
+        # "max iterations reached but feasible" — replacing such an
+        # element with a cold solve could downgrade a feasible warm
+        # solution to a failed one (ADVICE r3).
+        failed = np.asarray(res.exit_code) == EXIT_FAILURE
         # Only retry elements whose warm duals were actually applied —
         # ok=False elements already solved cold.
         failed &= np.asarray(warm_duals[2]).astype(bool)
         if not failed.any():
             return res
         cold = self._get_compiled(n, True)(*args)
-        m = jnp.asarray(failed)
+        # Adopt the cold result only where it is strictly better than
+        # the failed warm one (cold can also fail).
+        m = jnp.asarray(failed) & (cold.exit_code > res.exit_code)
 
         def pick(w, c):
             if w is None or c is None:

@@ -35,14 +35,20 @@ def convert_obstacle_messages(
 ) -> List[HostObstacle]:
     """Obstacle messages -> padded HostObstacle list.
 
-    Mirrors ros1_jackalsimulator.cpp obstacleCallback (:298-347): single
-    mode, GAUSSIAN if uncertainty present; constant-velocity prediction
-    when none supplied; distance filter + sort/pad to max_obstacles +
-    uncertainty propagation.
+    Mirrors ros1_jackalsimulator.cpp obstacleCallback (:298-347):
+    GAUSSIAN if uncertainty present; constant-velocity prediction when
+    none supplied; distance filter + sort/pad to max_obstacles +
+    uncertainty propagation of ALL predictions (ref
+    data_preparation.cpp:170-186 — supplied ones included; the
+    constant-velocity ones, propagated at construction, are skipped via
+    `HostPrediction.propagated`).
 
     raw entries: {"id", "position" [2], "angle", "radius"?, "velocity"? [2],
-    "prediction"?: {"positions" [N,2], "major" [N], "minor" [N],
-    "probabilities"?}}.
+    "prediction"?: {"positions" [N,2] or [K,N,2], "major" [N] or [K,N],
+    "minor" [N] or [K,N], "angles"? (same shape as major),
+    "probabilities"? [K]}}. A leading K axis carries a full GMM (ref
+    ObstacleGMM.msg) through to `HostPrediction.modes_*` for multi-modal
+    SH-MPC sampling.
     """
     obstacles: List[HostObstacle] = []
     for msg in raw_obstacles:
@@ -55,17 +61,26 @@ def convert_obstacle_messages(
         pred = msg.get("prediction")
         if pred is not None:
             positions = np.asarray(pred["positions"], dtype=float)
-            n = positions.shape[0]
-            major = np.asarray(pred.get("major", np.zeros(n)), dtype=float)
-            minor = np.asarray(pred.get("minor", np.zeros(n)), dtype=float)
+            if positions.ndim == 2:  # single mode -> [1, N, 2]
+                positions = positions[None]
+            K, n = positions.shape[:2]
+            major = np.atleast_2d(np.asarray(pred.get("major", np.zeros(n)), dtype=float))
+            minor = np.atleast_2d(np.asarray(pred.get("minor", np.zeros(n)), dtype=float))
+            angles = np.atleast_2d(np.asarray(pred.get("angles", np.zeros(n)), dtype=float))
+            if major.shape[0] == 1 and K > 1:
+                major = np.broadcast_to(major, (K, n))
+                minor = np.broadcast_to(minor, (K, n))
+            if angles.shape[0] == 1 and K > 1:
+                angles = np.broadcast_to(angles, (K, n))
+            probs = np.asarray(pred.get("probabilities", np.ones(K)), dtype=float)
             gaussian = cfg.probabilistic.enable and (major.max() > 0 or minor.max() > 0)
             o.prediction = HostPrediction(
                 type=int(PredictionType.GAUSSIAN if gaussian else PredictionType.DETERMINISTIC),
-                positions=positions[None],
-                angles=np.zeros((1, n)),
-                major=major[None].copy(),
-                minor=minor[None].copy(),
-                probabilities=np.ones(1),
+                positions=positions.copy(),
+                angles=angles.copy(),
+                major=major.copy(),
+                minor=minor.copy(),
+                probabilities=probs.copy(),
             )
         else:
             velocity = np.asarray(msg.get("velocity", np.zeros(2)), dtype=float)
@@ -79,9 +94,7 @@ def convert_obstacle_messages(
         obstacles, state, cfg.max_obstacles, cfg.N, cfg.dt, cfg.probabilistic.enable
     )
     if cfg.probabilistic.enable and cfg.probabilistic.propagate_uncertainty:
-        # Supplied predictions still need propagation (constant-velocity
-        # ones are already propagated at construction)
-        pass
+        propagate_all_uncertainty(obstacles, cfg.dt, cfg.N)
     return obstacles
 
 

@@ -161,3 +161,34 @@ def test_curvature_aware_module_instantiates(cfg):
         p[reg.index(f"spline{i}_start")] = float(i)
     cost = m.cost(BoundModel(model, z), reg.bind(jnp.asarray(p)), cfg, 1)
     assert np.isfinite(float(cost))
+
+
+def test_velocity_spline_pads_constant_past_path_end(cfg):
+    """Past-end spline_v slots must be CONSTANT segments at the path-end
+    velocity: they share the path upload's s_start=length pin, so
+    duplicated cubic coefficients would be evaluated at ds = s - length
+    and return the last segment's START velocity instead (ADVICE r3)."""
+    from types import SimpleNamespace
+
+    from mpc_planner_tpu.parameters import ParameterBlock, ParameterRegistry
+
+    mod = PathReferenceVelocityModule(cfg)
+    reg = ParameterRegistry()
+    mod.define_parameters(reg)
+    pblock = ParameterBlock(reg, cfg.N + 1)
+
+    xs = np.linspace(0.0, 10.0, 6)
+    v = np.array([1.0, 1.2, 1.5, 1.3, 0.9, 0.4])  # non-constant
+    data = SimpleNamespace(reference_path={"x": xs, "y": np.zeros_like(xs), "v": v})
+    mod.on_data_received(data, "reference_path")
+
+    last = mod.velocity_spline.n_segments - 1
+    md = SimpleNamespace(current_path_segment=last)  # forces padded slots
+    mod.set_parameters(None, md, pblock)
+
+    v_end = float(mod.velocity_spline(mod.velocity_spline.t[-1]))
+    for i in range(1, mod.num_segments):  # slots past the final segment
+        assert pblock.get(0, f"spline_v{i}_a") == 0.0
+        assert pblock.get(0, f"spline_v{i}_b") == 0.0
+        assert pblock.get(0, f"spline_v{i}_c") == 0.0
+        np.testing.assert_allclose(pblock.get(0, f"spline_v{i}_d"), v_end)

@@ -92,6 +92,7 @@ def test_multimodal_scenario_sampling(cfg):
     a1, a2, b = _device_scenario_halfspaces_mm(
         jax.random.PRNGKey(0),
         jnp.asarray(blk.modes_position[:, :, : N - 1], jnp.float32),
+        jnp.asarray(blk.modes_angle[:, :, : N - 1], jnp.float32),
         jnp.asarray(blk.modes_major[:, :, : N - 1], jnp.float32),
         jnp.asarray(blk.modes_minor[:, :, : N - 1], jnp.float32),
         jnp.asarray(np.log(np.maximum(blk.modes_prob, 1e-12)), jnp.float32),
@@ -110,3 +111,48 @@ def test_multimodal_scenario_sampling(cfg):
     frac_mode1 = np.mean(a2n > 0.8)  # normals toward (0, 3)
     assert frac_mode0 > 0.2 and frac_mode1 > 0.05
     assert frac_mode0 > frac_mode1  # 0.7 vs 0.3 probability
+
+
+def test_multimodal_sampler_respects_mode_orientation(cfg):
+    """Anisotropic mode uncertainty must be rotated by the mode's heading
+    (VERDICT r3 weak #3): a mode at (5, 0) with a long major axis pointed
+    AT the robot (angle 0) produces scenario halfspaces that cut much
+    closer to the robot than the same mode with its major axis across
+    the approach line (angle pi/2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_planner_tpu.modules.scenario_constraints import _device_scenario_halfspaces_mm
+
+    N = cfg.N
+    M, K = 1, 2
+    pos = np.tile([5.0, 0.0], (M, K, N - 1, 1))
+    major = np.full((M, K, N - 1), 1.5)
+    minor = np.full((M, K, N - 1), 0.01)
+    logprob = np.log(np.full((M, K), 0.5))
+    p_ws = np.zeros((N - 1, 2))
+
+    def tightest_b(angle):
+        a1, a2, b = _device_scenario_halfspaces_mm(
+            jax.random.PRNGKey(3),
+            jnp.asarray(pos, jnp.float32),
+            jnp.full((M, K, N - 1), angle, jnp.float32),
+            jnp.asarray(major, jnp.float32),
+            jnp.asarray(minor, jnp.float32),
+            jnp.asarray(logprob, jnp.float32),
+            jnp.full((M,), 0.4, jnp.float32),
+            jnp.asarray(p_ws, jnp.float32),
+            jnp.float32(0.3),
+            n_constraints=8,
+            n_samples=256,
+        )
+        # For normals pointing toward +x the offset b is the x cut line
+        a1n, bn = np.asarray(a1), np.asarray(b)
+        toward = a1n > 0.9
+        return float(np.min(np.where(toward, bn, np.inf)))
+
+    b_facing = tightest_b(0.0)       # major axis along the approach line
+    b_across = tightest_b(np.pi / 2)  # major axis across it
+    # Facing spread reaches ~5 - 3*1.5 toward the robot; across stays ~5
+    assert b_facing < b_across - 1.0
+    assert b_across > 3.5
