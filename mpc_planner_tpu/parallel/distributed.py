@@ -120,13 +120,19 @@ def broadcast_winner(mesh: Mesh, Z_batch, idx, axis_name: str = "batch"):
     return pick(Z_batch, idx)
 
 
-def distributed_solve_step(solver, mesh: Mesh, num_iterations: int):
+def distributed_solve_step(solver, mesh: Mesh, num_iterations: int,
+                           warm: bool = False):
     """Build the per-cycle jitted step: sharded batch solve + global
     selection + replicated winner. Returns
     step(Z0, P, xinit, consistency [B]) -> (Z_winner, idx, found, res).
 
     `consistency` is the per-element objective multiplier (1.0 or the
-    selection_weight_consistency for previously selected classes)."""
+    selection_weight_consistency for previously selected classes).
+
+    With `warm=True`, step takes three extra sharded operands
+    (lam_l, lam_u, ok) — the previous cycle's converged QP duals — so
+    steady-state cycles run the cross-cycle warm-start exactly like the
+    single-chip flagship program."""
     data_sharding = NamedSharding(mesh, P("batch"))
     replicated = NamedSharding(mesh, P())
 
@@ -138,10 +144,9 @@ def distributed_solve_step(solver, mesh: Mesh, num_iterations: int):
     # result lower to ICI/DCN collectives.
     from mpc_planner_tpu.parallel.mesh import sharded_batch_impl
 
-    solve_sharded = sharded_batch_impl(solver, mesh, num_iterations)
+    solve_sharded = sharded_batch_impl(solver, mesh, num_iterations, warm=warm)
 
-    def step(Z0, P_, xinit, consistency):
-        res = solve_sharded(Z0, P_, xinit)
+    def select(res, consistency):
         pobj = res.pobj * consistency
         idx, found = global_argmin(pobj, res.exit_code == 1)
         Zw = jax.lax.with_sharding_constraint(
@@ -149,8 +154,18 @@ def distributed_solve_step(solver, mesh: Mesh, num_iterations: int):
         )
         return Zw, idx, found, res
 
+    if warm:
+        def step(Z0, P_, xinit, consistency, lam_l, lam_u, ok):
+            return select(solve_sharded(Z0, P_, xinit, lam_l, lam_u, ok),
+                          consistency)
+        n_in = 7
+    else:
+        def step(Z0, P_, xinit, consistency):
+            return select(solve_sharded(Z0, P_, xinit), consistency)
+        n_in = 4
+
     return jax.jit(
         step,
-        in_shardings=(data_sharding, data_sharding, data_sharding, data_sharding),
+        in_shardings=(data_sharding,) * n_in,
         out_shardings=(replicated, replicated, replicated, data_sharding),
     )

@@ -38,7 +38,7 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "batch"):
 
 
 def sharded_batch_impl(solver, mesh: Mesh, num_iterations: int,
-                       axis_name: str = "batch"):
+                       axis_name: str = "batch", warm: bool = False):
     """Traceable batched solve, SPMD over the mesh.
 
     On a multi-device mesh, wraps `solver.batch_impl` in `jax.shard_map`
@@ -48,15 +48,25 @@ def sharded_batch_impl(solver, mesh: Mesh, num_iterations: int,
     it replicated (ADVICE r2). On a 1-device mesh, the wrapper is the
     plain batch_impl. Shared by sharded_solve_fn and
     parallel/distributed.py::distributed_solve_step.
+
+    With `warm=True` the returned callable takes three extra batch-axis
+    operands (lam_l, lam_u, ok) — last cycle's converged QP duals (the
+    cross-cycle HPIPM warm_start=2 carry), sharded like the batch.
     """
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if warm:
+        fn = lambda z, p_, x, wl, wu, ok: solver.batch_impl(
+            z, p_, x, num_iterations, warm0=(wl, wu, ok))
+        n_in = 6
+    else:
+        fn = lambda z, p_, x: solver.batch_impl(z, p_, x, num_iterations)
+        n_in = 3
     if n_dev > 1:
         return jax.shard_map(
-            lambda z, p_, x: solver.batch_impl(z, p_, x, num_iterations),
-            mesh=mesh, in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            fn, mesh=mesh, in_specs=(P(axis_name),) * n_in,
             out_specs=P(axis_name), check_vma=False,
         )
-    return lambda z, p_, x: solver.batch_impl(z, p_, x, num_iterations)
+    return fn
 
 
 def sharded_solve_fn(solver, mesh: Mesh, num_iterations: int, axis_name: str = "batch"):
