@@ -39,6 +39,31 @@ CYCLES = 8  # control cycles chained on device per timed dispatch
 RTI_ITERATIONS = 10
 
 
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e MXU peak (bf16); f32 "highest" is lower
+
+
+def _kernel_flops_per_solve(ocp, cfg) -> float:
+    """Analytic FLOP count of the in-kernel IP-Riccati work for ONE
+    solve (the Pallas kernel body is opaque to XLA's cost model).
+
+    Leading terms per stage per IP iteration, counting multiply+add as
+    2 FLOPs: the Gauss-Newton Hessian contribution J^T Sigma J over the
+    `nrows` inequality rows (2*nrows*nvar^2), the Riccati block products
+    A'PA / A'PB / B'PB + the nu-block Cholesky (~6*nvar^3), and the
+    barrier/residual row work (~12*nrows*nvar). Mehrotra's
+    predictor-corrector reuses the factorization for a second RHS
+    (x1.5). Warm QPs run max(6, qp_iterations*2//3) IP iterations
+    (solver/sqp.py); the steady-state chain is all-warm.
+    """
+    nvar, nx, nu, N = ocp.nvar, ocp.nx, ocp.nu, ocp.N
+    nrows = ocp.nh + 2 * nvar  # module rows + variable bounds
+    qp_iters = max(6, cfg.solver.qp_iterations * 2 // 3)
+    per_stage = 1.5 * (
+        2.0 * nrows * nvar**2 + 6.0 * nvar**3 + 12.0 * nrows * nvar
+    )
+    return float(cfg.solver.iterations * qp_iters * (N + 1) * per_stage)
+
+
 def main():
     from __graft_entry__ import _build
     from mpc_planner_tpu.utils.config import default_config
@@ -93,6 +118,22 @@ def main():
     out = run_cycles(*warm0)
     jax.block_until_ready(out)
 
+    # FLOP accounting (VERDICT r3 #4): XLA's own cost model for the
+    # chained-cycle program. The Pallas kernel's FLOPs are invisible to
+    # this analysis, so add an analytic count of the IP-Riccati work
+    # (docs/PERF_NOTES.md "Roofline position" derives the formula).
+    flops_per_solve = None
+    try:
+        ca = run_cycles.lower(*warm0).compile().cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        xla_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        xla_flops = 0.0
+    flops_per_solve = (
+        xla_flops / (CYCLES * BATCH) + _kernel_flops_per_solve(ocp, cfg)
+    )
+
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -111,11 +152,21 @@ def main():
 
     solves_per_sec = BATCH / float(np.mean(times))
     p99_ms = float(np.percentile(times, 99) * 1e3)
+    achieved_flops = solves_per_sec * flops_per_solve
+    pct_peak = 100.0 * achieved_flops / PEAK_FLOPS_BF16
     print(
         f"# batch={BATCH} cycle mean={np.mean(times)*1e3:.1f}ms "
         f"p99={p99_ms:.1f}ms rti={RTI_ITERATIONS} "
         f"steady feasible={feas_steady}/{BATCH} "
         f"(single dispatch incl. tunnel: {t_single*1e3:.1f}ms)",
+        file=sys.stderr,
+    )
+    print(
+        f"# roofline: ~{flops_per_solve/1e6:.1f} MFLOP/solve "
+        f"(XLA cost model + analytic kernel count) -> "
+        f"{achieved_flops/1e12:.3f} TFLOP/s = {pct_peak:.2f}% of v5e bf16 "
+        f"peak; the solve is LATENCY-bound (serial Riccati recurrence, "
+        f"~310 ns/stage-step, docs/PERF_NOTES.md), not FLOP-bound",
         file=sys.stderr,
     )
 
@@ -126,6 +177,8 @@ def main():
                 "value": round(solves_per_sec, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
+                "flops_per_solve": round(flops_per_solve),
+                "pct_of_peak_bf16": round(pct_peak, 3),
             }
         )
     )
