@@ -122,6 +122,12 @@ class Module:
         (T-MPC++ / SH-MPC)."""
         return None
 
+    def save_data(self, record: dict) -> None:
+        """Per-cycle metric export hook (ref controller_module.h:120-125
+        saveData(DataSaver&)): write module metrics into the
+        ExperimentUtil iteration record. Keys should be prefixed with
+        the module's name to avoid collisions."""
+
 
 class ObjectiveModule(Module):
     module_type = "objective"
@@ -207,6 +213,14 @@ class ModuleManager:
     def update_all(self, state, data, module_data) -> None:
         for m in self.modules:
             m.update(state, data, module_data)
+
+    def save_data_all(self) -> dict:
+        """Collect every module's saveData metrics for one iteration
+        record (ref planner.cpp saveData loop over modules)."""
+        record: dict = {}
+        for m in self.modules:
+            m.save_data(record)
+        return record
 
     def set_parameters_all(self, data, module_data, pblock: ParameterBlock) -> None:
         for m in self.modules:

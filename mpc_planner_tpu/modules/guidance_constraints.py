@@ -51,7 +51,12 @@ class GuidanceConstraintModule(ConstraintModule):
         self._selected_planner = -1
         self._trajectories = []
         self._planner = None
-        self._prev_duals = None  # (lam_l, lam_u, ok) carried across cycles
+        # (lam_l, lam_u, ok) carried across cycles — kept as DEVICE
+        # arrays: pulling + re-shipping ~2.6 MB of duals per cycle
+        # through a remote-device link would dominate the cycle at the
+        # 512+ batch scale.
+        self._prev_duals = None
+        self._assemble = None  # cached jitted device-side P assembly
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         # Own halfspaces (ref guidance_constraints.py:70-80): note the
@@ -126,13 +131,9 @@ class GuidanceConstraintModule(ConstraintModule):
         trajs = trajs[:n_guided]
 
         Z0 = _np.zeros((B, N + 1, nvar), dtype=_np.float32)
-        P = _np.broadcast_to(base_P[None], (B,) + base_P.shape).copy()
 
         robot_radius = cfg.robot_radius
         blk = data.obstacle_block
-        a1_idx = module_data.pblock.registry.bundle_indices("lin_constraint_a1")
-        a2_idx = module_data.pblock.registry.bundle_indices("lin_constraint_a2")
-        b_idx = module_data.pblock.registry.bundle_indices("lin_constraint_b")
 
         # Vectorized over all guided trajectories — at 1000+ guesses per
         # cycle (samples_per_class scale-out) a per-trajectory Python loop
@@ -142,23 +143,37 @@ class GuidanceConstraintModule(ConstraintModule):
         # (like the reference's non-guided planner) — a stop-in-lane
         # plan must stay feasible even when every passing side is
         # blocked.
-        non_braking = _np.array(
-            [not getattr(t, "braking", False) for t in trajs], dtype=bool
-        )
-        if self.enable_constraints and non_braking.any():
-            sel = _np.flatnonzero(non_braking)
-            pos_all = _np.stack([trajs[i].positions for i in sel], axis=0)
-            a1, a2, b = self._topology_halfspaces_batch(pos_all, blk, robot_radius)
-            n_obs = blk.position.shape[0]
-            for j in range(n_obs):
-                P[sel, 1:N, a1_idx[j]] = a1[:, :, j]
-                P[sel, 1:N, a2_idx[j]] = a2[:, :, j]
-                P[sel, 1:N, b_idx[j]] = b[:, :, j]
-            P[sel, N] = P[sel, N - 1]
+        guided = _np.zeros(B, dtype=bool)
+        guided[: len(trajs)] = [
+            not getattr(t, "braking", False) for t in trajs
+        ]
+        if not self.enable_constraints:
+            guided[:] = False
         if self.use_tmpc_pp:
             # T-MPC++: the non-guided planner with the main warmstart and
             # no homotopy constraints (ref :286-298 "original planner")
             Z0[B - 1] = Z_main
+            guided[B - 1] = False
+
+        n_obs = blk.position.shape[0]
+        pos_all = _np.stack(
+            [t.positions for t in trajs]
+            + [Z_main[:, [model.index("x"), model.index("y")]]]
+            * (B - len(trajs)),
+            axis=0,
+        ).astype(_np.float32)
+
+        # Device-side halfspace linearization + parameter assembly: ship
+        # the SHARED base fill once per cycle plus only the guidance
+        # trajectories (~[B, N+1, 2]) — ~20x less host->device traffic
+        # than materializing [B, N+1, npar] on the host (the difference
+        # between ~6.5 MB and ~0.4 MB per cycle at B=514, which through
+        # a remote-device link IS the cycle budget), and the O(B*N*M)
+        # halfspace math rides the chip instead of the host.
+        P = self._assemble_P(
+            module_data, base_P, pos_all,
+            blk.pred_position[:, : N - 1], guided, robot_radius,
+        )
 
         xinit = _np.tile(module_data.xinit[None], (B, 1))
         # Cross-cycle dual warm start: feed last cycle's converged QP duals
@@ -174,14 +189,14 @@ class GuidanceConstraintModule(ConstraintModule):
             warm_duals=warm,
         )
         if res.lam_l is not None:
-            self._prev_duals = (
-                _np.asarray(res.lam_l),
-                _np.asarray(res.lam_u),
-                _np.asarray(res.exit_code) == 1,
-            )
+            # Stays on device — consumed by next cycle's solve only.
+            self._prev_duals = (res.lam_l, res.lam_u, res.exit_code == 1)
 
-        exit_codes = _np.asarray(res.exit_code)
-        pobj = _np.asarray(res.pobj, dtype=float).copy()
+        import jax as _jax
+
+        # One bundled device->host pull for the selection scalars.
+        exit_codes, pobj = _jax.device_get((res.exit_code, res.pobj))
+        pobj = _np.asarray(pobj, dtype=float).copy()
 
         # Consistency bonus for the previously selected class (ref :358-359).
         # The braking class is exempt: it is an emergency plan, and making
@@ -213,7 +228,11 @@ class GuidanceConstraintModule(ConstraintModule):
         masked = _np.where(feasible, pobj, _np.inf)
         best = int(_np.argmin(masked))
         self._selected_planner = best
-        self._last_batch_Z = _np.asarray(res.Z)  # for visualization
+        self._last_n_feasible = int(feasible.sum())
+        self._last_pobj_best = float(pobj[best])
+        # Kept as a device array; visualization pulls it on demand (the
+        # full batch is ~300 KB at B=514 — not per-cycle traffic).
+        self._last_batch_Z = res.Z
         if best < len(trajs):
             self.guidance.override_selected(trajs[best])
         else:
@@ -226,6 +245,64 @@ class GuidanceConstraintModule(ConstraintModule):
             "batch": res,
             "selected": best,
         }
+
+    def _assemble_P(self, module_data, base_P, pos_all, obst_pred, guided,
+                    robot_radius):
+        """Device-side per-planner parameter assembly: broadcast the
+        shared base fill, linearize the separating halfspaces w.r.t.
+        each guidance trajectory ON DEVICE (the LinearizedConstraints
+        topology mode, linearized_constraints.cpp:43-47, 85-105: radius
+        1e-3, robot point), and scatter them into the guidance bundles.
+        Non-guided rows (braking / T-MPC++ unguided planner) get the
+        inactive fill (a=0, b=100), identical to the base default.
+
+        pos_all [B, N+1, 2] guidance positions; obst_pred [M, N-1, 2]
+        obstacle means for stages 1..N-1 (step k-1 for stage k)."""
+        import jax
+        import jax.numpy as jnp
+
+        B = guided.shape[0]
+        N = self.cfg.N
+        n_obs = obst_pred.shape[0]
+        reg = module_data.pblock.registry
+        key = (B, base_P.shape, n_obs)
+        if self._assemble is None or self._assemble[0] != key:
+            a1_idx = jnp.asarray(reg.bundle_indices("lin_constraint_a1")[:n_obs])
+            a2_idx = jnp.asarray(reg.bundle_indices("lin_constraint_a2")[:n_obs])
+            b_idx = jnp.asarray(reg.bundle_indices("lin_constraint_b")[:n_obs])
+
+            @jax.jit
+            def assemble(baseP, pos, obst, g, rr):
+                p = pos[:, 1:N]  # [B, N-1, 2] stages 1..N-1
+                diff = obst[None] - p[:, None, :, :]  # [B, M, N-1, 2]
+                dist = jnp.maximum(
+                    jnp.linalg.norm(diff, axis=-1), 1e-9)
+                a1 = jnp.swapaxes(diff[..., 0] / dist, 1, 2)  # [B, N-1, M]
+                a2 = jnp.swapaxes(diff[..., 1] / dist, 1, 2)
+                ox = jnp.swapaxes(obst[..., 0], 0, 1)[None]
+                oy = jnp.swapaxes(obst[..., 1], 0, 1)[None]
+                b = a1 * ox + a2 * oy - (1e-3 + rr)
+                gm = g[:, None, None]
+                a1 = jnp.where(gm, a1, 0.0)
+                a2 = jnp.where(gm, a2, 0.0)
+                b = jnp.where(gm, b, 100.0)
+                P = jnp.broadcast_to(baseP[None], (B,) + baseP.shape)
+                P = P.at[:, 1:N, a1_idx].set(a1)
+                P = P.at[:, 1:N, a2_idx].set(a2)
+                P = P.at[:, 1:N, b_idx].set(b)
+                P = P.at[:, N].set(P[:, N - 1])
+                return P
+
+            self._assemble = (key, assemble)
+        import numpy as _np
+
+        return self._assemble[1](
+            jnp.asarray(_np.asarray(base_P, _np.float32)),
+            jnp.asarray(pos_all),
+            jnp.asarray(_np.asarray(obst_pred, _np.float32)),
+            jnp.asarray(guided),
+            jnp.float32(robot_radius),
+        )
 
     def _warmstarts_from_guidance(self, model, trajs, Z_main) -> "np.ndarray":
         """initializeSolverWithGuidance (ref :390-414), vectorized over the
@@ -290,24 +367,15 @@ class GuidanceConstraintModule(ConstraintModule):
             Z[:, -1, model.index("ay")] = 0.0
         return clip_to_bounds(model, Z)
 
-    def _topology_halfspaces_batch(self, pos_all, blk, robot_radius):
-        """Separating halfspaces w.r.t. each guidance trajectory, the
-        LinearizedConstraints topology mode (linearized_constraints.cpp:
-        43-47, 85-105: radius 1e-3, robot point). pos_all [B, N+1, 2] ->
-        (a1, a2, b) each [B, N-1, M]."""
-        import numpy as _np
-
-        N = self.cfg.N
-        pos = pos_all[:, 1:N]  # [B, N-1, 2], stages 1..N-1
-        obst = blk.pred_position[:, : N - 1]  # [M, N-1, 2] (step k-1 for stage k)
-        diff = obst[None] - pos[:, None, :, :]  # [B, M, N-1, 2]
-        dist = _np.maximum(_np.linalg.norm(diff, axis=-1), 1e-9)
-        a1 = _np.swapaxes(diff[..., 0] / dist, 1, 2)  # [B, N-1, M]
-        a2 = _np.swapaxes(diff[..., 1] / dist, 1, 2)
-        ox = _np.swapaxes(obst[..., 0], 0, 1)[None]  # [1, N-1, M]
-        oy = _np.swapaxes(obst[..., 1], 0, 1)[None]
-        b = a1 * ox + a2 * oy - (1e-3 + robot_radius)
-        return a1, a2, b
+    def save_data(self, record: dict) -> None:
+        """Selection metrics per cycle (ref guidance_constraints.cpp
+        saveData: best planner id, objective)."""
+        record["guidance_selected_planner"] = self._selected_planner
+        record["guidance_n_planners"] = self.n_planners
+        record["guidance_n_feasible"] = getattr(self, "_last_n_feasible", 0)
+        record["guidance_best_objective"] = getattr(
+            self, "_last_pobj_best", float("inf"))
+        self.submodule.save_data(record)
 
     def is_objective_reached(self, state, data) -> bool:
         return self.submodule.is_objective_reached(state, data)

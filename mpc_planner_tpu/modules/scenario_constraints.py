@@ -272,6 +272,8 @@ class ScenarioConstraintModule(ConstraintModule):
         if not feasible.any():
             return {"Z": _np.asarray(Z_main), "exit_code": -1, "pobj": float("inf")}
         best = int(_np.argmin(_np.where(feasible, pobj, _np.inf)))
+        self._last_selected = best
+        self._last_n_feasible = int(feasible.sum())
         return {
             "Z": _np.asarray(res.Z[best]),
             "exit_code": 1,
@@ -290,6 +292,13 @@ class ScenarioConstraintModule(ConstraintModule):
         pblock.set_bundle_all_stages("scenario_a1", np.ones((n_stages, nC)))
         pblock.set_bundle_all_stages("scenario_a2", np.zeros((n_stages, nC)))
         pblock.set_bundle_all_stages("scenario_b", np.full((n_stages, nC), 1e6))
+
+    def save_data(self, record: dict) -> None:
+        """Per-cycle scenario solver metrics (ref scenario_constraints.cpp
+        saveData via the module saveData chain)."""
+        record["scenario_selected_solver"] = getattr(self, "_last_selected", -1)
+        record["scenario_n_solvers"] = self.cfg.scenario_constraints.parallel_solvers
+        record["scenario_n_feasible"] = getattr(self, "_last_n_feasible", 0)
 
     def reset(self) -> None:
         self._prev_duals = None

@@ -61,6 +61,13 @@ class ExperimentUtil:
                          "radius": float(blk.radius[i])}
                     )
         record["obstacles"] = obstacles
+        # Per-module saveData chain (ref controller_module.h:120-125;
+        # planner.cpp calls each module's saveData per iteration)
+        modules = getattr(planner, "modules", None)
+        if modules is not None and hasattr(modules, "save_data_all"):
+            module_metrics = modules.save_data_all()
+            if module_metrics:
+                record["modules"] = module_metrics
         self.iteration_data.append(record)
         self.control_iteration += 1
 

@@ -21,6 +21,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             "05_bridge_external_sim.py", "OK", marks=pytest.mark.slow,
             id="05_bridge_external_sim.py",
         ),
+        # Without rclpy installed the relay documents itself and exits 0
+        ("06_ros_relay.py", "relay"),
     ],
 )
 def test_example_runs(script, expect):

@@ -50,3 +50,24 @@ def test_experiment_util_records_and_exports(cfg, tmp_path):
     assert out["summary"]["num_experiments"] == 1
     assert out["data"][0]["iterations"] == 3
     assert len(out["data"][0]["metrics"][0]["obstacles"]) == 2  # non-dummies only
+
+
+def test_module_save_data_hook(cfg, tmp_path):
+    """Per-module saveData chain (ref controller_module.h:120-125):
+    the guidance module's selection metrics land in each iteration
+    record."""
+    model, modules = configuration_tmpc(cfg)
+    planner = Planner(model, modules, cfg)
+    state, data = corridor_scene(cfg, n_pedestrians=2, seed=1)
+    planner.on_data_received(data, "reference_path")
+
+    exp = ExperimentUtil(cfg, save_folder=str(tmp_path))
+    planner.solve_mpc(state, data)
+    exp.update(state, planner, data, runtime_s=0.01)
+
+    rec = exp.iteration_data[0]
+    assert "modules" in rec
+    m = rec["modules"]
+    assert m["guidance_n_planners"] >= 2
+    assert 0 <= m["guidance_selected_planner"] < m["guidance_n_planners"]
+    assert 1 <= m["guidance_n_feasible"] <= m["guidance_n_planners"]
