@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--config", choices=["tmpc", "basic", "all"], default="all")
     ap.add_argument("--backend", choices=["lateral", "prm", "sampled"],
                     default=None, help="guidance backend override (A/B runs)")
+    ap.add_argument("--samples-per-class", type=int, default=None,
+                    help="warmstart variations per homotopy class — scales "
+                         "the T-MPC batch to 100s-1000s of parallel guesses "
+                         "(the BASELINE.md scale axis; run WITHOUT --cpu so "
+                         "the batch solves on the TPU)")
+    ap.add_argument("--horizon", type=int, default=20,
+                    help="MPC horizon N (the reference jackalsimulator runs 30)")
     ap.add_argument("--no-braking-class", action="store_true")
     ap.add_argument("--robot-blind", action="store_true",
                     help="pedestrians ignore the robot (pedsim's social-"
@@ -39,6 +46,19 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent compilation cache: repeat TPU runs of the same
+        # shapes skip the multi-minute remote compile.
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/mpc_planner_tpu_jaxcache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
 
     import numpy as np
 
@@ -77,24 +97,35 @@ def main():
     elif args.config == "basic":
         configs = {"MPC (ellipsoid)": configuration_basic}
 
-    print("| config | pedestrians | completion | duration [s] | collisions | infeasible |")
-    print("|---|---|---|---|---|---|")
+    print("| config | pedestrians | B | completion | duration [s] | collisions "
+          "| infeasible | cycle ms (mean/p99) |")
+    print("|---|---|---|---|---|---|---|---|")
     for cfg_name, make_config in configs.items():
         for n_peds in args.peds:
             durations, collisions, completed, infeasible = [], 0, 0, 0
+            cycle_times, n_planners = [], 0
+            # ONE planner per row, reset between seeds — the reference
+            # node persists across its num_experiments segments the same
+            # way, and rebuilding would pay the jit compile per seed.
+            cfg = default_config(N=args.horizon)
+            import dataclasses as _dc
+            if args.no_braking_class:
+                cfg = cfg.replace(
+                    t_mpc=_dc.replace(cfg.t_mpc, braking_class=False)
+                )
+            if args.backend:
+                cfg = cfg.replace(
+                    t_mpc=_dc.replace(cfg.t_mpc, guidance_backend=args.backend)
+                )
+            if args.samples_per_class:
+                cfg = cfg.replace(
+                    t_mpc=_dc.replace(cfg.t_mpc,
+                                      samples_per_class=args.samples_per_class)
+                )
+            model, modules = make_config(cfg)
+            planner = Planner(model, modules, cfg)
             for seed in range(args.seeds):
-                cfg = default_config(N=20)
-                import dataclasses as _dc
-                if args.no_braking_class:
-                    cfg = cfg.replace(
-                        t_mpc=_dc.replace(cfg.t_mpc, braking_class=False)
-                    )
-                if args.backend:
-                    cfg = cfg.replace(
-                        t_mpc=_dc.replace(cfg.t_mpc, guidance_backend=args.backend)
-                    )
-                model, modules = make_config(cfg)
-                planner = Planner(model, modules, cfg)
+                planner.reset()
                 sim = ClosedLoopSimulator(
                     planner, cfg, make_peds(n_peds, seed), path,
                     social_forces=True, seed=seed,
@@ -109,19 +140,29 @@ def main():
                 collisions += res.collisions
                 completed += int(res.completed)
                 infeasible += res.infeasible_cycles
+                # Skip the first 3 cycles per seed (jit compile/cache warm)
+                cycle_times.extend(res.cycle_times[3:])
+                gmod = modules.get("GuidanceConstraints")
+                n_planners = gmod.n_planners if gmod is not None else 1
+            cyc = np.asarray(cycle_times) * 1e3
+            cyc_s = (f"{cyc.mean():.1f}/{np.percentile(cyc, 99):.1f}"
+                     if cyc.size else "-")
             print(
-                f"| {cfg_name} | {n_peds} | {completed}/{args.seeds} "
-                f"| {np.mean(durations):.1f} | {collisions} | {infeasible} |",
+                f"| {cfg_name} | {n_peds} | {n_planners} | {completed}/{args.seeds} "
+                f"| {np.mean(durations):.1f} | {collisions} | {infeasible} "
+                f"| {cyc_s} |",
                 flush=True,
             )
             if args.json:
                 import json as _json
                 print(_json.dumps({
                     "config": cfg_name, "backend": args.backend or "lateral",
-                    "peds": n_peds, "completed": completed,
+                    "peds": n_peds, "B": n_planners, "completed": completed,
                     "seeds": args.seeds,
                     "duration_mean": round(float(np.mean(durations)), 1),
                     "collisions": collisions, "infeasible": infeasible,
+                    "cycle_ms_mean": round(float(cyc.mean()), 2) if cyc.size else None,
+                    "cycle_ms_p99": round(float(np.percentile(cyc, 99)), 2) if cyc.size else None,
                 }), flush=True)
 
 

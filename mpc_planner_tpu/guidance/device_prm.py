@@ -41,12 +41,19 @@ from mpc_planner_tpu.guidance.prm import VisibilityPRMPlanner
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "n_goals"))
 def _sample_and_score(key, basis, start, goals, pred, clear, w_lat,
-                      track_thresh, *, n_samples: int, n_goals: int):
+                      track_thresh, s_prof, goal_weight,
+                      *, n_samples: int, n_goals: int):
     """One batched guidance sweep.
 
     basis [N+1, 4]: smoothing @ piecewise-linear interpolation weights for
     node sequence (start, via1, via2, goal).
     pred [M, N+1, 2] obstacle tracks, clear [M] required clearance.
+    s_prof [N+1]: acceleration-limited cumulative arc-length budget —
+    candidates are RETIMED so that at step k they have traveled at most
+    s_prof[k] along their own geometry (a robot at v0~0 cannot be at
+    cruise speed in step 1; uniform-timed candidates produced
+    dynamically unreachable warmstarts, measured as the r3 closed-loop
+    infeasibility spikes of this backend).
     Returns positions [S, N+1, 2], side [S, M] (+1 left/-1 right/0 not
     tracked), cost [S], feasible [S].
     """
@@ -72,7 +79,22 @@ def _sample_and_score(key, basis, start, goals, pred, clear, w_lat,
     nodes = jnp.stack(
         [jnp.broadcast_to(start, (S, 2)), v1, v2, goal], axis=1
     )  # [S, 4, 2]
-    positions = jnp.einsum("kn,snd->skd", basis, nodes)  # [S, N+1, 2]
+    geom = jnp.einsum("kn,snd->skd", basis, nodes)  # [S, N+1, 2]
+
+    # Acceleration-limited retiming along each candidate's own arc length
+    seg0 = jnp.linalg.norm(geom[:, 1:] - geom[:, :-1], axis=-1)  # [S, N]
+    cum = jnp.concatenate(
+        [jnp.zeros((S, 1)), jnp.cumsum(seg0, axis=1)], axis=1
+    )  # [S, N+1]
+    target = jnp.minimum(s_prof[None, :], cum[:, -1:])  # [S, N+1]
+
+    def _retime(pos, c, t):
+        return jnp.stack(
+            [jnp.interp(t, c, pos[:, 0]), jnp.interp(t, c, pos[:, 1])],
+            axis=-1,
+        )
+
+    positions = jax.vmap(_retime)(geom, cum, target)
 
     rel = positions[:, None, :, :] - pred[None, :, :, :]  # [S, M, N+1, 2]
     dist = jnp.linalg.norm(rel, axis=-1)  # [S, M, N+1]
@@ -96,7 +118,10 @@ def _sample_and_score(key, basis, start, goals, pred, clear, w_lat,
     side = jnp.where(tracked, jnp.where(cross < 0, 1, -1), 0).astype(jnp.int8)
 
     seglen = jnp.linalg.norm(d, axis=-1)  # [S, N]
-    cost = jnp.sum(seglen, axis=-1)
+    # Length + goal shortfall (retimed candidates may not reach their
+    # goal within the horizon; the PRM's selection_weights length term)
+    shortfall = jnp.linalg.norm(positions[:, -1] - goal, axis=-1)
+    cost = jnp.sum(seglen, axis=-1) + goal_weight * shortfall
     return positions, side, cost, feasible
 
 
@@ -171,6 +196,7 @@ class DeviceSampledPlanner(VisibilityPRMPlanner):
         )
         goals = g_center[None, :] + lat_offsets[:, None] * normal[None, :]
 
+        s_prof = np.concatenate([[0.0], np.cumsum(v_prof[:-1] * dt)])
         positions_d, side_d, cost_d, feas_d = _sample_and_score(
             jax.random.PRNGKey(self.seed),
             jnp.asarray(self._basis(N), jnp.float32),
@@ -180,6 +206,8 @@ class DeviceSampledPlanner(VisibilityPRMPlanner):
             jnp.asarray(clear, jnp.float32),
             jnp.float32(half_width + 1.0),
             jnp.float32(self.clearance + 1.5),
+            jnp.asarray(s_prof, jnp.float32),
+            jnp.float32(getattr(cfg.t_mpc, "prm_goal_length_weight", 2.0)),
             n_samples=self.n_samples,
             n_goals=len(goals),
         )

@@ -32,6 +32,19 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+def _halton(i: int, base: int) -> float:
+    """Halton low-discrepancy sequence member i (>=1) in (0, 1): gives
+    `samples_per_class` GENUINELY distinct warmstart variations at any
+    scale instead of a short cycling list (the 1000+-guesses axis,
+    BASELINE.md)."""
+    f, r = 1.0, 0.0
+    while i > 0:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
 def _speed(state) -> float:
     """Forward speed; holonomic models carry (vx, vy) instead of v."""
     v = state.get("v")
@@ -138,11 +151,10 @@ class GuidancePlanner:
         spc = max(1, int(getattr(self.cfg.t_mpc, "samples_per_class", 1)))
         variations = [(1.0, 1.0)]
         if spc > 1:
-            margin_f = [1.0, 1.4, 0.75, 1.8, 0.6]
-            speed_f = [1.0, 0.8, 1.15, 0.65, 0.9]
-            variations = [
-                (margin_f[i % len(margin_f)], speed_f[(i // len(margin_f)) % len(speed_f)])
-                for i in range(spc)
+            # Halton-spread (margin, speed) pairs: all distinct at any spc
+            variations += [
+                (0.6 + 1.2 * _halton(i, 2), 0.6 + 0.6 * _halton(i, 3))
+                for i in range(1, spc)
             ]
 
         trajectories = []

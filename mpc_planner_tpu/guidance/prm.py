@@ -167,13 +167,22 @@ class VisibilityPRMPlanner(GuidancePlanner):
         # axis carries them all.
         spc = max(1, int(getattr(cfg.t_mpc, "samples_per_class", 1)))
         if spc > 1:
-            speed_f = (0.8, 1.15, 0.65, 0.9, 1.3)
+            # Halton-spread (speed, lateral-bump) variants: genuinely
+            # distinct at any spc (the 1000+-guesses scale axis) instead
+            # of a 5-entry cycling list. The lateral bump is windowed so
+            # endpoints stay fixed and small enough (<=0.35 m) to stay in
+            # the class's homotopy neighborhood.
+            from mpc_planner_tpu.guidance.homotopy import _halton
+
             expanded = []
             for traj in trajectories:
                 expanded.append(traj)
-                for i in range(spc - 1):
-                    expanded.append(self._retime(traj, speed_f[i % len(speed_f)],
-                                                 path, s0))
+                for i in range(1, spc):
+                    speed = 0.6 + 0.7 * _halton(i, 2)
+                    lat_amp = (2.0 * _halton(i, 3) - 1.0) * 0.35
+                    expanded.append(
+                        self._retime(traj, speed, path, s0, lat_amp=lat_amp)
+                    )
             trajectories = expanded
 
         if getattr(cfg.t_mpc, "braking_class", False):
@@ -181,14 +190,22 @@ class VisibilityPRMPlanner(GuidancePlanner):
         return trajectories
 
     def _retime(self, traj: GuidanceTrajectory, scale: float, path,
-                s0: float) -> GuidanceTrajectory:
-        """Speed-scaled variant of a guidance trajectory (same class)."""
+                s0: float, lat_amp: float = 0.0) -> GuidanceTrajectory:
+        """Speed-scaled (and optionally laterally bumped) variant of a
+        guidance trajectory (same class)."""
         Np1 = len(traj.positions)
         ks = np.clip(np.arange(Np1) * scale, 0.0, Np1 - 1.0)
         base = np.arange(Np1, dtype=float)
         positions = np.stack(
             [np.interp(ks, base, traj.positions[:, d]) for d in range(2)], axis=-1
         )
+        if lat_amp != 0.0:
+            # Sine-windowed offset along the local normal: endpoints fixed
+            d = np.gradient(positions, axis=0)
+            nrm = np.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
+            normal = np.stack([-d[:, 1], d[:, 0]], axis=-1) / nrm
+            window = np.sin(np.pi * base / (Np1 - 1.0))
+            positions = positions + lat_amp * window[:, None] * normal
         out = GuidanceTrajectory(
             positions=positions,
             s=self._project(path, positions, s0),

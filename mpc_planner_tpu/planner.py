@@ -227,7 +227,11 @@ class Planner:
             viz.add_halfspaces(hs.reshape(-1, 3), "road_constraints")
         gmod = self.modules.get("GuidanceConstraints")
         if gmod is not None and getattr(gmod, "_last_batch_Z", None) is not None:
-            viz.add_tmpc_candidates(gmod._last_batch_Z, self.model, gmod._selected_planner)
+            import numpy as _np
+
+            viz.add_tmpc_candidates(
+                _np.asarray(gmod._last_batch_Z), self.model, gmod._selected_planner
+            )
         return viz
 
     def is_objective_reached(self, state: State, data: RealTimeData) -> bool:

@@ -49,6 +49,17 @@ class SimResult:
     steps: int = 0
     mean_velocity: float = 0.0
     trajectory: List[np.ndarray] = field(default_factory=list)
+    # Wall-clock per control cycle (data prep + solve), seconds — the
+    # closed-loop realtime evidence (ref planner.cpp's 1/f budget).
+    cycle_times: List[float] = field(default_factory=list)
+
+    @property
+    def cycle_ms_mean(self) -> float:
+        return 1e3 * float(np.mean(self.cycle_times)) if self.cycle_times else 0.0
+
+    @property
+    def cycle_ms_p99(self) -> float:
+        return 1e3 * float(np.percentile(self.cycle_times, 99)) if self.cycle_times else 0.0
 
 
 class ClosedLoopSimulator:
@@ -155,10 +166,14 @@ class ClosedLoopSimulator:
         data = self._make_data(state)
         self.planner.on_data_received(data, "reference_path")
 
+        import time as _time
+
         velocities = []
         for step in range(max_steps):
+            t0 = _time.perf_counter()
             data = self._make_data(state)
             out = self.planner.solve_mpc(state, data)
+            result.cycle_times.append(_time.perf_counter() - t0)
 
             if out.success:
                 a = self.planner.get_solution(0, "a")

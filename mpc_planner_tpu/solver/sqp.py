@@ -89,6 +89,13 @@ class SQPSolver:
         self.qp_iterations = (
             cfg.solver.qp_iterations if qp_iterations is None else qp_iterations
         )
+        # Warm-QP IP iteration count (RTI iterations >= 2 / dual-carried
+        # first QPs): explicit config override, else the measured-safe
+        # auto rule (docs/PERF_NOTES.md iteration tuning).
+        _wqi = int(getattr(cfg.solver, "qp_warm_iterations", 0) or 0)
+        self.warm_qp_iters = (
+            _wqi if _wqi > 0 else max(6, self.qp_iterations * 2 // 3)
+        )
         self.lm = cfg.solver.levenberg_marquardt
         self.tol_eq = cfg.solver.tol_eq_residual
         self.mu0 = cfg.solver.qp_mu0
@@ -438,7 +445,7 @@ class SQPSolver:
             Z, mus, done, iters = Z1, sol0.mu[None], done1, jnp.int32(1)
             lam_l_fin, lam_u_fin = sol0.lam_l, sol0.lam_u
         else:
-            warm_iters = max(6, self.qp_iterations * 2 // 3)
+            warm_iters = self.warm_qp_iters
 
             def rti_iter(carry, _):
                 Z, lam_l, lam_u, mu_prev, done, iters = carry
@@ -532,12 +539,12 @@ class SQPSolver:
             mirror_kw = dict(
                 mirror_in_kernel=mirror_in_kernel, lm=self.lm,
                 mirror_x_only=self._mirror_x_only,
+                interpret=self.interpret,
             )
             sqp_mode = self.solver_type == "SQP"
             Bb = Z0.shape[0]
 
-            it0 = self.qp_iterations if warm0 is None else max(
-                6, self.qp_iterations * 2 // 3)
+            it0 = self.qp_iterations if warm0 is None else self.warm_qp_iters
             warm_mehrotra = not self.warm_corrector_only
             qp0 = lin(Z0, P)
             sol0 = solve_qp_pallas(
@@ -552,7 +559,7 @@ class SQPSolver:
                 iters = jnp.ones((Bb,), jnp.int32)
                 ll_fin, lu_fin = sol0.lam_l, sol0.lam_u
             else:
-                warm_iters = max(6, self.qp_iterations * 2 // 3)
+                warm_iters = self.warm_qp_iters
 
                 def rti_iter(carry, _):
                     Z, ll, lu, mu, done, iters = carry
@@ -611,9 +618,8 @@ class SQPSolver:
 
         with jax.default_matmul_precision("highest"):
             Z0 = Z0.at[:, 0, nu:].set(xinit)
-            it0 = self.qp_iterations if warm0 is None else max(
-                6, self.qp_iterations * 2 // 3)
-            warm_iters = max(6, self.qp_iterations * 2 // 3)
+            it0 = self.qp_iterations if warm0 is None else self.warm_qp_iters
+            warm_iters = self.warm_qp_iters
             res = solve_rti_pallas(
                 Z0, P,
                 dyn_fn=ocp.dynamics_fn, run_cost=ocp.running_cost,

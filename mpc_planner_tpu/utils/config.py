@@ -61,9 +61,18 @@ class TMPCConfig:
     # frame (fast, deterministic — the default); "prm" searches a seeded
     # Visibility-PRM over (x, y, t) with winding-number homology filtering,
     # matching the reference's guidance_planner behavior
-    # (guidance_planner.yaml: 30 samples, n_paths=4, seeded); "sampled"
+    # (guidance_planner.yaml: 30 samples, n_paths=4, seeded) — the
+    # RECOMMENDED closed-loop backend (lateral is its equal in the
+    # corridor A/B and cheaper; prm's +40% class recall is insurance for
+    # scenes whose best class is not a lateral offset); "sampled"
     # evaluates thousands of candidate space-time paths in one jitted
-    # device sweep (guidance/device_prm.py) — the scale-out backend.
+    # device sweep (guidance/device_prm.py). SCOPE OF "sampled": class
+    # recall analysis and warmstart augmentation. Measured closed-loop
+    # (12 peds, 5 seeds, 2026-08-21, after acceleration-limited candidate
+    # retiming): 4/5 completion, 3 collisions, 17 infeasible cycles vs
+    # 5/5 / 0 / ~3 for lateral and prm — its smooth 2-via candidates
+    # remain worse guidance representatives at close range, so do not
+    # drive a closed loop with it (STATUS.md guidance A/B).
     guidance_backend: str = "lateral"
     sampled_n_samples: int = 512  # device-sweep candidates per cycle
     prm_n_samples: int = 30  # ref guidance_planner.yaml n_samples
@@ -157,6 +166,12 @@ class SolverConfig:
     # divergence-recovery scenarios.
     qp_warm_corrector_only: bool = False
     qp_warm_sigma: float = 0.1
+    # IP iterations for WARM QPs (RTI iterations >= 2 and dual-carried
+    # first QPs). 0 = auto: max(6, qp_iterations*2//3). The warm chain
+    # dominates steady-state cycle time (the kernel is latency-bound in
+    # N x IP sequential steps), so this is the N=30 latency lever —
+    # lower it only with the KKT + closed-loop suites green.
+    qp_warm_iterations: int = 0
     # Re-solve failed warm-dual batch elements cold in the SAME cycle
     # (one extra dispatch, only on failure cycles). Carried duals go
     # stale exactly when constraint geometry shifts fast; a cold solve
