@@ -190,8 +190,12 @@ class DeviceSampledPlanner(VisibilityPRMPlanner):
         tangent = tangent / (np.linalg.norm(tangent) + 1e-12)
         normal = np.array([-tangent[1], tangent[0]])
         half_width = max(cfg.road.width / 2.0 - cfg.robot_radius, 0.5)
+        # Same end-of-path lateral-fan taper as the PRM backend (edge
+        # goal stations near the end leave the robot parked outside the
+        # completion ball).
+        lat_scale = float(np.clip((path.length - s0) / 8.0, 0.1, 1.0))
         lat_offsets = (
-            np.linspace(-half_width, half_width, self.n_goals)
+            lat_scale * np.linspace(-half_width, half_width, self.n_goals)
             if self.n_goals > 1 else np.zeros(1)
         )
         goals = g_center[None, :] + lat_offsets[:, None] * normal[None, :]

@@ -96,8 +96,18 @@ class VisibilityPRMPlanner(GuidancePlanner):
         # reachable but a blocked corridor still yields plans.
         s_goal = float(s_prof[-1])
         half_width = max(cfg.road.width / 2.0 - cfg.robot_radius, 0.5)
+        # Taper the lateral fan toward the path END: a planner that
+        # commits to an edge goal station in the final meters reaches
+        # the path end off-centerline and PARKS there, outside the task
+        # completion ball — measured at B=509 (12-ped corridor: robot
+        # stationary at (25.3, -2.2), s saturated, every cycle feasible,
+        # 3/5 seeds timing out). Near the end all goals converge to the
+        # final path point, like the reference guidance_planner's
+        # path-following goal grid does.
+        remaining = max(path.length - s0, 0.0)
+        lat_scale = float(np.clip(remaining / 8.0, 0.1, 1.0))
         lat_offsets = (
-            np.linspace(-half_width, half_width, self.n_goals)
+            lat_scale * np.linspace(-half_width, half_width, self.n_goals)
             if self.n_goals > 1 else np.zeros(1)
         )
         long_step = max(1.0, (s_goal - s0) / max(2 * self.n_goals_long, 1))
@@ -165,55 +175,87 @@ class VisibilityPRMPlanner(GuidancePlanner):
         # retimed warmstart variants per homotopy class — same signature,
         # so selection/consistency treat them as one class while the batch
         # axis carries them all.
+        # Variant scale-out tapers out near the path end like the goal
+        # fan does: with the whole fleet ending at the saturated path
+        # end, the min-cost variant is the gentlest deceleration, and
+        # the robot crawls into the completion ball (measured: ~112 vs
+        # ~78 steps). The batch stays static — T-MPC pads with
+        # duplicates when fewer trajectories are returned.
         spc = max(1, int(getattr(cfg.t_mpc, "samples_per_class", 1)))
-        if spc > 1:
-            # Halton-spread (speed, lateral-bump) variants: genuinely
-            # distinct at any spc (the 1000+-guesses scale axis) instead
-            # of a 5-entry cycling list. The lateral bump is windowed so
-            # endpoints stay fixed and small enough (<=0.35 m) to stay in
-            # the class's homotopy neighborhood.
-            from mpc_planner_tpu.guidance.homotopy import _halton
-
-            expanded = []
-            for traj in trajectories:
-                expanded.append(traj)
-                for i in range(1, spc):
-                    speed = 0.6 + 0.7 * _halton(i, 2)
-                    lat_amp = (2.0 * _halton(i, 3) - 1.0) * 0.35
-                    expanded.append(
-                        self._retime(traj, speed, path, s0, lat_amp=lat_amp)
-                    )
-            trajectories = expanded
+        if spc > 1 and remaining > 6.0:
+            trajectories = self._expand_classes(trajectories, spc)
 
         if getattr(cfg.t_mpc, "braking_class", False):
             trajectories.append(self._braking_trajectory(state, path, s0))
         return trajectories
 
-    def _retime(self, traj: GuidanceTrajectory, scale: float, path,
-                s0: float, lat_amp: float = 0.0) -> GuidanceTrajectory:
-        """Speed-scaled (and optionally laterally bumped) variant of a
-        guidance trajectory (same class)."""
-        Np1 = len(traj.positions)
-        ks = np.clip(np.arange(Np1) * scale, 0.0, Np1 - 1.0)
-        base = np.arange(Np1, dtype=float)
-        positions = np.stack(
-            [np.interp(ks, base, traj.positions[:, d]) for d in range(2)], axis=-1
+    def _expand_classes(self, trajectories, spc: int):
+        """Halton-spread (speed, lateral-bump) variants: genuinely
+        distinct at any spc (the 1000+-guesses scale axis) instead of a
+        5-entry cycling list. Fully vectorized across classes per
+        variant — at spc>100 a per-trajectory `_retime` + `_project`
+        loop cost ~230 ms/cycle on the host (measured), 5x the realtime
+        budget by itself. Variant progress `s` is the base trajectory's
+        `s` retimed with the SAME interpolation (monotone along the
+        trajectory; the perpendicular windowed bump, <=0.35 m, moves it
+        negligibly), so no path projections are needed at all."""
+        import numpy as np
+
+        from mpc_planner_tpu.guidance.homotopy import _halton
+
+        C = len(trajectories)
+        base_pos = np.stack([t.positions for t in trajectories])  # [C, Np1, 2]
+        base_s = np.stack([t.s for t in trajectories])  # [C, Np1]
+        Np1 = base_pos.shape[1]
+        grid = np.arange(Np1, dtype=float)
+        window = np.sin(np.pi * grid / (Np1 - 1.0))
+        V = spc - 1  # variants per class beyond the base
+
+        # Speed scale >= 0.85: slower variants measurably drag the whole
+        # planner into a low-cost dawdle attractor (B=509 corridor:
+        # duration 27.8 s vs 15.8 s at B=5, one seed timing out — the
+        # same slow-mode failure the braking class is emergency-gated
+        # for). The slow end of the spectrum is already covered by the
+        # base classes + braking lane; variants explore equal-or-faster
+        # retimings + lateral bumps.
+        speeds = np.array([0.85 + 0.5 * _halton(i, 2) for i in range(1, spc)])
+        lat_amps = np.array(
+            [(2.0 * _halton(i, 3) - 1.0) * 0.35 for i in range(1, spc)]
         )
-        if lat_amp != 0.0:
-            # Sine-windowed offset along the local normal: endpoints fixed
-            d = np.gradient(positions, axis=0)
-            nrm = np.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
-            normal = np.stack([-d[:, 1], d[:, 0]], axis=-1) / nrm
-            window = np.sin(np.pi * base / (Np1 - 1.0))
-            positions = positions + lat_amp * window[:, None] * normal
-        out = GuidanceTrajectory(
-            positions=positions,
-            s=self._project(path, positions, s0),
-            signature=traj.signature,
-            obstacle_ids=traj.obstacle_ids,
-        )
-        out.previously_selected = traj.previously_selected
-        return out
+
+        # One-shot vectorization over (variant, class, step): a
+        # per-variant python loop with np.gradient cost ~24 ms/cycle at
+        # spc=127 on the 2-core host — half the realtime budget.
+        ks = np.clip(grid[None, :] * speeds[:, None], 0.0, Np1 - 1.0)  # [V, Np1]
+        i0 = np.minimum(ks.astype(int), Np1 - 2)
+        frac = (ks - i0)[None, :, :, None]  # [1, V, Np1, 1]
+        pos = (base_pos[:, i0] * (1.0 - frac)
+               + base_pos[:, i0 + 1] * frac)  # [C, V, Np1, 2]
+        s_v = base_s[:, i0] * (1.0 - frac[..., 0]) + base_s[:, i0 + 1] * frac[..., 0]
+        # Central-difference tangents -> left normals (endpoints one-sided)
+        d = np.empty_like(pos)
+        d[:, :, 1:-1] = 0.5 * (pos[:, :, 2:] - pos[:, :, :-2])
+        d[:, :, 0] = pos[:, :, 1] - pos[:, :, 0]
+        d[:, :, -1] = pos[:, :, -1] - pos[:, :, -2]
+        nrm = np.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
+        normal = np.stack([-d[..., 1], d[..., 0]], axis=-1) / nrm
+        pos = pos + (lat_amps[None, :, None, None]
+                     * window[None, None, :, None] * normal)
+
+        # Variant-major ordering: [bases..., variant1 of each class...,
+        # variant2 of each class...] — stable across cycles so per-
+        # element dual carries stay aligned.
+        expanded = list(trajectories)
+        for v in range(V):
+            for c, t in enumerate(trajectories):
+                out = GuidanceTrajectory(
+                    positions=pos[c, v], s=s_v[c, v], signature=t.signature,
+                    obstacle_ids=t.obstacle_ids,
+                    base_positions=t.positions,
+                )
+                out.previously_selected = t.previously_selected
+                expanded.append(out)
+        return expanded
 
     def _search(self, pos, tk, n_goals: int, pred, clear, dt: float,
                 goal_cost=None):

@@ -56,7 +56,7 @@ class GuidanceConstraintModule(ConstraintModule):
         # through a remote-device link would dominate the cycle at the
         # 512+ batch scale.
         self._prev_duals = None
-        self._assemble = None  # cached jitted device-side P assembly
+        self._assemble = None  # {key: jitted fused solve+select step}
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         # Own halfspaces (ref guidance_constraints.py:70-80): note the
@@ -156,26 +156,36 @@ class GuidanceConstraintModule(ConstraintModule):
             guided[B - 1] = False
 
         n_obs = blk.position.shape[0]
+        # Halfspace linearization points: the CLASS representative for
+        # samples_per_class variants (same constraint geometry per class
+        # -> true multistart; see GuidanceTrajectory.base_positions),
+        # the trajectory itself otherwise.
         pos_all = _np.stack(
-            [t.positions for t in trajs]
+            [t.positions if t.base_positions is None else t.base_positions
+             for t in trajs]
             + [Z_main[:, [model.index("x"), model.index("y")]]]
             * (B - len(trajs)),
             axis=0,
         ).astype(_np.float32)
 
-        # Device-side halfspace linearization + parameter assembly: ship
-        # the SHARED base fill once per cycle plus only the guidance
-        # trajectories (~[B, N+1, 2]) — ~20x less host->device traffic
-        # than materializing [B, N+1, npar] on the host (the difference
-        # between ~6.5 MB and ~0.4 MB per cycle at B=514, which through
-        # a remote-device link IS the cycle budget), and the O(B*N*M)
-        # halfspace math rides the chip instead of the host.
-        P = self._assemble_P(
-            module_data, base_P, pos_all,
-            blk.pred_position[:, : N - 1], guided, robot_radius,
-        )
+        xinit = _np.tile(module_data.xinit[None], (B, 1)).astype(_np.float32)
 
-        xinit = _np.tile(module_data.xinit[None], (B, 1))
+        # Consistency bonus for the previously selected class (ref
+        # :358-359), as a per-element multiplier shipped with the batch.
+        # The braking class is exempt: it is an emergency plan, and
+        # making it sticky freezes the robot. It also competes ONLY when
+        # nothing else is feasible: warmstarted at a stop with no
+        # topology constraints it converges to a "dawdle behind the
+        # crowd" local optimum that often costs less than an overtake
+        # (measured: 12-ped corridor completion 2/3 -> 0/3 when it may
+        # win on cost).
+        consistency = _np.ones(B, _np.float32)
+        braking_mask = _np.zeros(B, dtype=bool)
+        for i, traj in enumerate(trajs):
+            braking_mask[i] = getattr(traj, "braking", False)
+            if traj.previously_selected and not braking_mask[i]:
+                consistency[i] = cfg.t_mpc.selection_weight_consistency
+
         # Cross-cycle dual warm start: feed last cycle's converged QP duals
         # into this cycle's first QP (extends HPIPM warm_start=2 across
         # control cycles; per-element ok flag gates shifted/braking
@@ -184,125 +194,202 @@ class GuidanceConstraintModule(ConstraintModule):
         warm = self._prev_duals
         if warm is not None and warm[0].shape[0] != B:
             warm = None
-        res = planner.solver.solve_batch(
-            Z0, P, xinit, num_iterations=module_data.num_iterations,
-            warm_duals=warm,
-        )
-        if res.lam_l is not None:
-            # Stays on device — consumed by next cycle's solve only.
-            self._prev_duals = (res.lam_l, res.lam_u, res.exit_code == 1)
 
+        # ONE fused device program per cycle (assembly + batch solve +
+        # selection) and ONE bundled device->host pull: each additional
+        # blocking round trip through a remote-device link costs tens of
+        # ms (measured 130 ms/cycle at 4 sync points vs ~6 ms of B=5
+        # solve). Same structure as parallel/distributed.py's
+        # distributed_solve_step — the selection argmin rides the chip.
         import jax as _jax
 
-        # One bundled device->host pull for the selection scalars.
-        exit_codes, pobj = _jax.device_get((res.exit_code, res.pobj))
-        pobj = _np.asarray(pobj, dtype=float).copy()
-
-        # Consistency bonus for the previously selected class (ref :358-359).
-        # The braking class is exempt: it is an emergency plan, and making
-        # it sticky freezes the robot (selected once -> bonus -> selected
-        # forever while pedestrians crowd around the stopped robot).
-        for i, traj in enumerate(trajs):
-            if traj.previously_selected and not getattr(traj, "braking", False):
-                pobj[i] *= cfg.t_mpc.selection_weight_consistency
-
-        feasible = exit_codes == 1
-        if not feasible.any():
-            self.guidance.override_selected(None)
-            return {"Z": Z_main, "exit_code": int(exit_codes[0]), "pobj": float("inf")}
-
-        # The braking class competes ONLY when nothing else is feasible:
-        # warmstarted at a stop with no topology constraints it converges
-        # to a "dawdle behind the crowd" local optimum that often costs
-        # less than an overtake, and letting it win on cost drags the
-        # whole planner into a slow-mode attractor (measured: 12-ped
-        # corridor completion 2/3 -> 0/3). As an emergency-only lane it
-        # retains its purpose: a feasible stop when every pass is blocked.
-        braking_mask = _np.array(
-            [getattr(t, "braking", False) for t in trajs]
-            + [False] * (B - len(trajs)), dtype=bool
+        n_iter = int(module_data.num_iterations)
+        step = self._get_fused_step(
+            B, base_P.shape, blk.pred_position.shape[0], n_iter,
+            module_data.pblock.registry, warm is not None)
+        out = step(
+            _jax.numpy.asarray(_np.asarray(base_P, _np.float32)),
+            _jax.numpy.asarray(pos_all),
+            _jax.numpy.asarray(
+                _np.asarray(blk.pred_position[:, : N - 1], _np.float32)),
+            _jax.numpy.asarray(guided),
+            _jax.numpy.float32(robot_radius),
+            _jax.numpy.asarray(Z0),
+            _jax.numpy.asarray(xinit),
+            _jax.numpy.asarray(consistency),
+            _jax.numpy.asarray(braking_mask),
+            *(warm if warm is not None else ()),
         )
-        if (feasible & ~braking_mask).any():
-            feasible = feasible & ~braking_mask
+        (packed_d, Zall_d, ll_d, lu_d) = out
 
-        masked = _np.where(feasible, pobj, _np.inf)
-        best = int(_np.argmin(masked))
+        def _unpack(packed_np):
+            nz = (N + 1) * nvar
+            Zb = packed_np[:nz].reshape(N + 1, nvar)
+            codes = packed_np[nz:nz + B].astype(_np.int32)
+            po = packed_np[nz + B:nz + 2 * B].astype(float)
+            return Zb, int(packed_np[-2]), bool(packed_np[-1] > 0.5), codes, po
+
+        # THE one blocking pull of the cycle.
+        Z_best, best, found, exit_codes, pobj = _unpack(
+            _np.asarray(_jax.device_get(packed_d)))
+        if ll_d is not None:
+            # Stays on device — consumed by next cycle's solve only.
+            self._prev_duals = (ll_d, lu_d, _jax.numpy.asarray(exit_codes == 1))
+
+        # In-cycle cold retry of hard warm-dual failures (the same
+        # semantics solve_batch applies): one extra fused dispatch on
+        # failure cycles only. (`warm[2]` is a device array — only pull
+        # it once a failure is actually present.)
+        retry = getattr(planner.solver, "qp_retry_cold", True)
+        if warm is not None and retry and (exit_codes == -1).any():
+            failed = (exit_codes == -1) & _np.asarray(warm[2])
+            if failed.any():
+                step_c = self._get_fused_step(
+                    B, base_P.shape, blk.pred_position.shape[0], n_iter,
+                    module_data.pblock.registry, False)
+                out_c = step_c(
+                    _jax.numpy.asarray(_np.asarray(base_P, _np.float32)),
+                    _jax.numpy.asarray(pos_all),
+                    _jax.numpy.asarray(
+                        _np.asarray(blk.pred_position[:, : N - 1], _np.float32)),
+                    _jax.numpy.asarray(guided),
+                    _jax.numpy.float32(robot_radius),
+                    _jax.numpy.asarray(Z0),
+                    _jax.numpy.asarray(xinit),
+                    _jax.numpy.asarray(consistency),
+                    _jax.numpy.asarray(braking_mask),
+                )
+                (packed_c, Zall_c, ll_c, lu_c) = out_c
+                _, _, _, codes_cold, pobj_cold = _unpack(
+                    _np.asarray(_jax.device_get(packed_c)))
+                adopt = failed & (codes_cold > exit_codes)
+                if adopt.any():
+                    import jax.numpy as _jnp
+
+                    m = _jnp.asarray(adopt)
+                    exit_codes = _np.where(adopt, codes_cold, exit_codes)
+                    pobj = _np.where(adopt, pobj_cold, pobj)
+                    mm = m[:, None, None]
+                    Zall_d = _jnp.where(mm, Zall_c, Zall_d)
+                    self._prev_duals = (
+                        _jnp.where(mm, ll_c, ll_d),
+                        _jnp.where(mm, lu_c, lu_d),
+                        _jnp.asarray(exit_codes == 1),
+                    )
+                    # Re-select on the merged result (host, tiny arrays)
+                    feas = exit_codes == 1
+                    if (feas & ~braking_mask).any():
+                        feas = feas & ~braking_mask
+                    masked = _np.where(feas, pobj * consistency, _np.inf)
+                    best = int(_np.argmin(masked))
+                    found = bool(_np.isfinite(masked[best]))
+                    Z_best = _np.asarray(Zall_d[best])
+
+        best = int(best)
+        if not bool(found):
+            self.guidance.override_selected(None)
+            return {"Z": Z_main, "exit_code": int(exit_codes[0]),
+                    "pobj": float("inf")}
+
         self._selected_planner = best
-        self._last_n_feasible = int(feasible.sum())
-        self._last_pobj_best = float(pobj[best])
+        feas_eff = exit_codes == 1
+        if (feas_eff & ~braking_mask).any():
+            feas_eff = feas_eff & ~braking_mask
+        self._last_n_feasible = int(feas_eff.sum())
+        self._last_pobj_best = float(pobj[best] * consistency[best])
         # Kept as a device array; visualization pulls it on demand (the
         # full batch is ~300 KB at B=514 — not per-cycle traffic).
-        self._last_batch_Z = res.Z
+        self._last_batch_Z = Zall_d
         if best < len(trajs):
             self.guidance.override_selected(trajs[best])
         else:
             self.guidance.override_selected(None)
 
         return {
-            "Z": _np.asarray(res.Z[best]),
+            "Z": _np.asarray(Z_best),
             "exit_code": 1,
-            "pobj": float(_np.asarray(res.pobj)[best]),
-            "batch": res,
+            "pobj": float(pobj[best]),
+            "batch": True,
             "selected": best,
         }
 
-    def _assemble_P(self, module_data, base_P, pos_all, obst_pred, guided,
-                    robot_radius):
-        """Device-side per-planner parameter assembly: broadcast the
-        shared base fill, linearize the separating halfspaces w.r.t.
-        each guidance trajectory ON DEVICE (the LinearizedConstraints
-        topology mode, linearized_constraints.cpp:43-47, 85-105: radius
-        1e-3, robot point), and scatter them into the guidance bundles.
-        Non-guided rows (braking / T-MPC++ unguided planner) get the
-        inactive fill (a=0, b=100), identical to the base default.
+    def _get_fused_step(self, B, baseP_shape, n_obs, n_iter, reg,
+                        warm: bool):
+        """One jitted device program for a whole control cycle:
 
-        pos_all [B, N+1, 2] guidance positions; obst_pred [M, N-1, 2]
-        obstacle means for stages 1..N-1 (step k-1 for stage k)."""
+        1. per-planner parameter assembly — broadcast the shared base
+           fill and linearize the separating halfspaces w.r.t. each
+           guidance trajectory ON DEVICE (LinearizedConstraints topology
+           mode, linearized_constraints.cpp:43-47, 85-105: radius 1e-3,
+           robot point); non-guided rows (braking / T-MPC++ unguided
+           planner) get the inactive fill (a=0, b=100);
+        2. the batched SQP-RTI solve (warm-dual variant when `warm`);
+        3. the T-MPC selection argmin (consistency-weighted, braking
+           classes competing only when nothing else is feasible).
+
+        Cached per shape/iteration key. Returns
+        (Z_winner, best, found, exit_code, pobj, Z_all, lam_l, lam_u).
+        """
         import jax
         import jax.numpy as jnp
 
-        B = guided.shape[0]
         N = self.cfg.N
-        n_obs = obst_pred.shape[0]
-        reg = module_data.pblock.registry
-        key = (B, base_P.shape, n_obs)
-        if self._assemble is None or self._assemble[0] != key:
-            a1_idx = jnp.asarray(reg.bundle_indices("lin_constraint_a1")[:n_obs])
-            a2_idx = jnp.asarray(reg.bundle_indices("lin_constraint_a2")[:n_obs])
-            b_idx = jnp.asarray(reg.bundle_indices("lin_constraint_b")[:n_obs])
+        if self._assemble is None:
+            self._assemble = {}
+        key = (B, baseP_shape, n_obs, n_iter, warm)
+        if key in self._assemble:
+            return self._assemble[key]
 
-            @jax.jit
-            def assemble(baseP, pos, obst, g, rr):
-                p = pos[:, 1:N]  # [B, N-1, 2] stages 1..N-1
-                diff = obst[None] - p[:, None, :, :]  # [B, M, N-1, 2]
-                dist = jnp.maximum(
-                    jnp.linalg.norm(diff, axis=-1), 1e-9)
-                a1 = jnp.swapaxes(diff[..., 0] / dist, 1, 2)  # [B, N-1, M]
-                a2 = jnp.swapaxes(diff[..., 1] / dist, 1, 2)
-                ox = jnp.swapaxes(obst[..., 0], 0, 1)[None]
-                oy = jnp.swapaxes(obst[..., 1], 0, 1)[None]
-                b = a1 * ox + a2 * oy - (1e-3 + rr)
-                gm = g[:, None, None]
-                a1 = jnp.where(gm, a1, 0.0)
-                a2 = jnp.where(gm, a2, 0.0)
-                b = jnp.where(gm, b, 100.0)
-                P = jnp.broadcast_to(baseP[None], (B,) + baseP.shape)
-                P = P.at[:, 1:N, a1_idx].set(a1)
-                P = P.at[:, 1:N, a2_idx].set(a2)
-                P = P.at[:, 1:N, b_idx].set(b)
-                P = P.at[:, N].set(P[:, N - 1])
-                return P
+        a1_idx = jnp.asarray(reg.bundle_indices("lin_constraint_a1")[:n_obs])
+        a2_idx = jnp.asarray(reg.bundle_indices("lin_constraint_a2")[:n_obs])
+        b_idx = jnp.asarray(reg.bundle_indices("lin_constraint_b")[:n_obs])
+        solver = self._planner.solver
 
-            self._assemble = (key, assemble)
-        import numpy as _np
+        def step(baseP, pos, obst, g, rr, Z0, xinit, consistency,
+                 braking, *warm_args):
+            p = pos[:, 1:N]  # [B, N-1, 2] stages 1..N-1
+            diff = obst[None] - p[:, None, :, :]  # [B, M, N-1, 2]
+            dist = jnp.maximum(jnp.linalg.norm(diff, axis=-1), 1e-9)
+            a1 = jnp.swapaxes(diff[..., 0] / dist, 1, 2)  # [B, N-1, M]
+            a2 = jnp.swapaxes(diff[..., 1] / dist, 1, 2)
+            ox = jnp.swapaxes(obst[..., 0], 0, 1)[None]
+            oy = jnp.swapaxes(obst[..., 1], 0, 1)[None]
+            b = a1 * ox + a2 * oy - (1e-3 + rr)
+            gm = g[:, None, None]
+            a1 = jnp.where(gm, a1, 0.0)
+            a2 = jnp.where(gm, a2, 0.0)
+            b = jnp.where(gm, b, 100.0)
+            P = jnp.broadcast_to(baseP[None], (B,) + baseP.shape)
+            P = P.at[:, 1:N, a1_idx].set(a1)
+            P = P.at[:, 1:N, a2_idx].set(a2)
+            P = P.at[:, 1:N, b_idx].set(b)
+            P = P.at[:, N].set(P[:, N - 1])
 
-        return self._assemble[1](
-            jnp.asarray(_np.asarray(base_P, _np.float32)),
-            jnp.asarray(pos_all),
-            jnp.asarray(_np.asarray(obst_pred, _np.float32)),
-            jnp.asarray(guided),
-            jnp.float32(robot_radius),
-        )
+            warm0 = tuple(warm_args) if warm_args else None
+            res = solver.batch_impl(Z0, P, xinit, n_iter, warm0=warm0)
+
+            feasible = res.exit_code == 1
+            nb = feasible & ~braking
+            feas_eff = jnp.where(jnp.any(nb), nb, feasible)
+            masked = jnp.where(feas_eff, res.pobj * consistency, jnp.inf)
+            best = jnp.argmin(masked)
+            found = jnp.isfinite(masked[best])
+            # ALL host-bound scalars in ONE f32 vector: device_get pulls
+            # each pytree leaf in a separate blocking round trip, and
+            # through a remote-device link every round trip costs
+            # ~15-20 ms (measured: 6 pulls = 104 of a 154 ms cycle).
+            packed = jnp.concatenate([
+                res.Z[best].reshape(-1),
+                res.exit_code.astype(jnp.float32),
+                res.pobj,
+                jnp.stack([best.astype(jnp.float32),
+                           found.astype(jnp.float32)]),
+            ])
+            return (packed, res.Z, res.lam_l, res.lam_u)
+
+        fn = jax.jit(step)
+        self._assemble[key] = fn
+        return fn
 
     def _warmstarts_from_guidance(self, model, trajs, Z_main) -> "np.ndarray":
         """initializeSolverWithGuidance (ref :390-414), vectorized over the

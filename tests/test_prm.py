@@ -164,12 +164,21 @@ def test_prm_samples_per_class_scale_out(prm_cfg):
     state, data = _scene(cfg, [(1.2, 0.0)])
     from mpc_planner_tpu.spline_fit import PathSpline2D
 
-    path = PathSpline2D(np.linspace(0, 6, 13), np.zeros(13))
+    # Long path: variant scale-out is gated OFF within 6 m of the
+    # path end (endgame crawl guard), so the expansion needs headroom.
+    path = PathSpline2D(np.linspace(0, 14, 13), np.zeros(13))
     base = VisibilityPRMPlanner(prm_cfg).update(
         state, path, data.obstacle_block, 0.0, 1.5)
     trajs = VisibilityPRMPlanner(cfg).update(
         state, path, data.obstacle_block, 0.0, 1.5)
     assert len(trajs) == 3 * len(base)
+    # Variant-major ordering: [bases..., variant1 of each class...,
+    # variant2 of each class...] (vectorized _expand_classes)
+    C = len(base)
     for i, t in enumerate(trajs):
-        assert t.signature == base[i // 3].signature
+        assert t.signature == base[i % C].signature
         assert t.positions.shape == base[0].positions.shape
+    # Variants are genuinely distinct warmstarts, not repeats
+    for v in range(1, 3):
+        assert not np.allclose(trajs[v * C].positions, base[0].positions)
+    assert not np.allclose(trajs[C].positions, trajs[2 * C].positions)
