@@ -31,6 +31,9 @@ def main():
                          "the batch solves on the TPU)")
     ap.add_argument("--horizon", type=int, default=20,
                     help="MPC horizon N (the reference jackalsimulator runs 30)")
+    ap.add_argument("--qp-warm-iterations", type=int, default=0,
+                    help="override warm-QP IP iterations (0 = auto; the "
+                         "N=30 latency lever, experiments/n30_latency.py)")
     ap.add_argument("--no-braking-class", action="store_true")
     ap.add_argument("--robot-blind", action="store_true",
                     help="pedestrians ignore the robot (pedsim's social-"
@@ -121,6 +124,11 @@ def main():
                 cfg = cfg.replace(
                     t_mpc=_dc.replace(cfg.t_mpc,
                                       samples_per_class=args.samples_per_class)
+                )
+            if args.qp_warm_iterations:
+                cfg = cfg.replace(
+                    solver=_dc.replace(cfg.solver,
+                                       qp_warm_iterations=args.qp_warm_iterations)
                 )
             model, modules = make_config(cfg)
             planner = Planner(model, modules, cfg)

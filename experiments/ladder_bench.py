@@ -24,8 +24,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-RTI = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+def _cli_int(i: int, default: int) -> int:
+    # Tolerate being IMPORTED by other experiments whose argv differs
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+BATCH = _cli_int(1, 1024)
+RTI = _cli_int(2, 10)
 REPS = 15
 
 
