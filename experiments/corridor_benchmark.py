@@ -21,7 +21,11 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--max-steps", type=int, default=200)
     ap.add_argument("--peds", type=int, nargs="*", default=[4, 8, 12])
-    ap.add_argument("--config", choices=["tmpc", "basic", "all"], default="all")
+    ap.add_argument("--config", choices=["tmpc", "basic", "shmpc", "all"],
+                    default="all")
+    ap.add_argument("--scenario-solvers", type=int, default=None,
+                    help="SH-MPC parallel scenario solvers (shmpc config; "
+                         "the second BASELINE.md scale axis)")
     ap.add_argument("--backend", choices=["lateral", "prm", "sampled"],
                     default=None, help="guidance backend override (A/B runs)")
     ap.add_argument("--samples-per-class", type=int, default=None,
@@ -66,7 +70,11 @@ def main():
     import numpy as np
 
     from mpc_planner_tpu.planner import Planner
-    from mpc_planner_tpu.presets import configuration_basic, configuration_tmpc
+    from mpc_planner_tpu.presets import (
+        configuration_basic,
+        configuration_safe_horizon,
+        configuration_tmpc,
+    )
     from mpc_planner_tpu.sim import ClosedLoopSimulator
     from mpc_planner_tpu.sim.simulator import Pedestrian
     from mpc_planner_tpu.utils.config import default_config
@@ -99,6 +107,8 @@ def main():
         configs = {"T-MPC++": configuration_tmpc}
     elif args.config == "basic":
         configs = {"MPC (ellipsoid)": configuration_basic}
+    elif args.config == "shmpc":
+        configs = {"SH-MPC (slack)": configuration_safe_horizon}
 
     print("| config | pedestrians | B | completion | duration [s] | collisions "
           "| infeasible | cycle ms (mean/p99) |")
@@ -130,6 +140,12 @@ def main():
                     solver=_dc.replace(cfg.solver,
                                        qp_warm_iterations=args.qp_warm_iterations)
                 )
+            if args.scenario_solvers:
+                cfg = cfg.replace(
+                    scenario_constraints=_dc.replace(
+                        cfg.scenario_constraints,
+                        parallel_solvers=args.scenario_solvers)
+                )
             model, modules = make_config(cfg)
             planner = Planner(model, modules, cfg)
             for seed in range(args.seeds):
@@ -151,7 +167,13 @@ def main():
                 # Skip the first 3 cycles per seed (jit compile/cache warm)
                 cycle_times.extend(res.cycle_times[3:])
                 gmod = modules.get("GuidanceConstraints")
-                n_planners = gmod.n_planners if gmod is not None else 1
+                smod = modules.get("ScenarioConstraints")
+                if gmod is not None:
+                    n_planners = gmod.n_planners
+                elif smod is not None:
+                    n_planners = cfg.scenario_constraints.parallel_solvers
+                else:
+                    n_planners = 1
             cyc = np.asarray(cycle_times) * 1e3
             cyc_s = (f"{cyc.mean():.1f}/{np.percentile(cyc, 99):.1f}"
                      if cyc.size else "-")

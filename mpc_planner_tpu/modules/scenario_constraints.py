@@ -114,9 +114,10 @@ class ScenarioConstraintModule(ConstraintModule):
         self.use_slack = True
         self._planner = None
         self._sample_seed = 0
-        self._sampler = None
-        self._sampler_mm = False
-        self._prev_duals = None  # (lam_l, lam_u, ok) carried across cycles
+        # (lam_l, lam_u, ok) carried across cycles — DEVICE arrays (a
+        # host round trip per cycle is tens of ms through a remote link)
+        self._prev_duals = None
+        self._fused = None  # {key: jitted fused sample+assemble+solve+select}
 
     def define_parameters(self, params: ParameterRegistry) -> None:
         for d in range(self.n_discs):
@@ -183,54 +184,32 @@ class ScenarioConstraintModule(ConstraintModule):
         p_ws = module_data.warmstart_xy[1 : N]  # [N-1, 2] stages 1..N-1
 
         base_P = module_data.pblock.data
-        P = _np.broadcast_to(base_P[None], (B,) + base_P.shape).copy()
         Z0 = _np.tile(_np.asarray(Z_main, dtype=_np.float32)[None], (B, 1, 1))
-
+        xinit = _np.tile(module_data.xinit[None], (B, 1)).astype(_np.float32)
         robot_r = cfg.robot_radius
-        a1_idx = module_data.pblock.registry.bundle_indices("scenario_a1")
-        a2_idx = module_data.pblock.registry.bundle_indices("scenario_a2")
-        b_idx = module_data.pblock.registry.bundle_indices("scenario_b")
 
-        # Scenario draws + support selection on device, vmapped over the
-        # parallel solvers (ref scenario_module sampling,
-        # IntegrateAndTranslateToMeanAndVariance + 24-support selection)
-        import functools
-
-        import jax
+        import jax as _jax
         import jax.numpy as jnp
 
         multi_modal = blk.n_modes > 1
-        if self._sampler is None or self._sampler_mm != multi_modal:
-            fn = functools.partial(
-                _device_scenario_halfspaces_mm if multi_modal else _device_scenario_halfspaces,
-                n_constraints=nC, n_samples=S,
-            )
-            n_data_args = 8 if multi_modal else 7
-            self._sampler = jax.jit(
-                jax.vmap(fn, in_axes=(0,) + (None,) * n_data_args)
-            )
-            self._sampler_mm = multi_modal
-        keys = jax.random.split(jax.random.PRNGKey(self._sample_seed), B)
         if multi_modal:
-            logprob = _np.log(_np.maximum(blk.modes_prob, 1e-12))
             modes_angle = (
                 blk.modes_angle if blk.modes_angle is not None
                 else _np.zeros_like(blk.modes_major)
             )
-            sel_a1, sel_a2, sel_b = self._sampler(
-                keys,
+            data_args = (
                 jnp.asarray(blk.modes_position[:, :, : N - 1], jnp.float32),
                 jnp.asarray(modes_angle[:, :, : N - 1], jnp.float32),
                 jnp.asarray(blk.modes_major[:, :, : N - 1], jnp.float32),
                 jnp.asarray(blk.modes_minor[:, :, : N - 1], jnp.float32),
-                jnp.asarray(logprob, jnp.float32),
+                jnp.asarray(_np.log(_np.maximum(blk.modes_prob, 1e-12)),
+                            jnp.float32),
                 jnp.asarray(blk.radius, jnp.float32),
                 jnp.asarray(p_ws, jnp.float32),
                 jnp.float32(robot_r),
             )
         else:
-            sel_a1, sel_a2, sel_b = self._sampler(
-                keys,
+            data_args = (
                 jnp.asarray(blk.pred_position[:, : N - 1], jnp.float32),
                 jnp.asarray(blk.pred_angle[:, : N - 1], jnp.float32),
                 jnp.asarray(blk.pred_major[:, : N - 1], jnp.float32),
@@ -239,48 +218,155 @@ class ScenarioConstraintModule(ConstraintModule):
                 jnp.asarray(p_ws, jnp.float32),
                 jnp.float32(robot_r),
             )
-        sel_a1 = _np.asarray(sel_a1)  # [B, N-1, nC]
-        sel_a2 = _np.asarray(sel_a2)
-        sel_b = _np.asarray(sel_b)
-        for s_id in range(B):
-            P[s_id][1:N, a1_idx] = _np.tile(sel_a1[s_id], (1, self.n_discs))
-            P[s_id][1:N, a2_idx] = _np.tile(sel_a2[s_id], (1, self.n_discs))
-            P[s_id][1:N, b_idx] = _np.tile(sel_b[s_id], (1, self.n_discs))
-            P[s_id][N] = P[s_id][N - 1]
 
-        xinit = _np.tile(module_data.xinit[None], (B, 1))
         # Cross-cycle dual warm start (HPIPM warm_start=2 across cycles):
         # scenario solver s keeps its sampling stream between cycles, so
         # its duals stay aligned per element.
         warm = self._prev_duals
         if warm is not None and warm[0].shape[0] != B:
             warm = None
-        res = planner.solver.solve_batch(
-            Z0, P, xinit, num_iterations=module_data.num_iterations,
-            warm_duals=warm,
-        )
-        if res.lam_l is not None:
-            self._prev_duals = (
-                _np.asarray(res.lam_l),
-                _np.asarray(res.lam_u),
-                _np.asarray(res.exit_code) == 1,
-            )
 
-        exit_codes = _np.asarray(res.exit_code)
-        pobj = _np.asarray(res.pobj, dtype=float)
+        # ONE fused device program per cycle (scenario draws + support
+        # selection + per-solver parameter assembly + batched solve +
+        # best-cost selection) and ONE bundled pull — the same
+        # round-trip discipline as the T-MPC module; this is what lets
+        # `parallel_solvers` scale to 100s-1000s of scenario solvers.
+        n_iter = int(module_data.num_iterations)
+        nvar = model.nvar
+        keys = _jax.random.split(
+            _jax.random.PRNGKey(self._sample_seed), B)
+        step = self._get_fused_step(
+            B, base_P.shape, multi_modal, n_iter,
+            module_data.pblock.registry, warm is not None)
+        out = step(
+            keys, jnp.asarray(_np.asarray(base_P, _np.float32)),
+            jnp.asarray(Z0), jnp.asarray(xinit),
+            *data_args, *(warm if warm is not None else ()))
+        packed_d, Zall_d, ll_d, lu_d = out
+
+        def _unpack(packed_np):
+            nz = (N + 1) * nvar
+            Zb = packed_np[:nz].reshape(N + 1, nvar)
+            codes = packed_np[nz:nz + B].astype(_np.int32)
+            po = packed_np[nz + B:nz + 2 * B].astype(float)
+            return Zb, int(packed_np[-2]), bool(packed_np[-1] > 0.5), codes, po
+
+        Z_best, best, found, exit_codes, pobj = _unpack(
+            _np.asarray(_jax.device_get(packed_d)))
+        if ll_d is not None:
+            self._prev_duals = (ll_d, lu_d, _jax.numpy.asarray(exit_codes == 1))
+
+        # In-cycle cold retry of hard warm-dual failures (failure cycles
+        # only; same semantics as solve_batch's retry).
+        retry = getattr(planner.solver, "qp_retry_cold", True)
+        if warm is not None and retry and (exit_codes == -1).any():
+            failed = (exit_codes == -1) & _np.asarray(warm[2])
+            if failed.any():
+                step_c = self._get_fused_step(
+                    B, base_P.shape, multi_modal, n_iter,
+                    module_data.pblock.registry, False)
+                out_c = step_c(
+                    keys, jnp.asarray(_np.asarray(base_P, _np.float32)),
+                    jnp.asarray(Z0), jnp.asarray(xinit), *data_args)
+                packed_c, Zall_c, ll_c, lu_c = out_c
+                _, _, _, codes_cold, pobj_cold = _unpack(
+                    _np.asarray(_jax.device_get(packed_c)))
+                adopt = failed & (codes_cold > exit_codes)
+                if adopt.any():
+                    m = jnp.asarray(adopt)[:, None, None]
+                    exit_codes = _np.where(adopt, codes_cold, exit_codes)
+                    pobj = _np.where(adopt, pobj_cold, pobj)
+                    Zall_d = jnp.where(m, Zall_c, Zall_d)
+                    self._prev_duals = (
+                        jnp.where(m, ll_c, ll_d),
+                        jnp.where(m, lu_c, lu_d),
+                        jnp.asarray(exit_codes == 1),
+                    )
+                    feas = exit_codes == 1
+                    masked = _np.where(feas, pobj, _np.inf)
+                    best = int(_np.argmin(masked))
+                    found = bool(_np.isfinite(masked[best]))
+                    Z_best = _np.asarray(Zall_d[best])
+
         feasible = exit_codes == 1
-        if not feasible.any():
+        if not bool(found):
             return {"Z": _np.asarray(Z_main), "exit_code": -1, "pobj": float("inf")}
-        best = int(_np.argmin(_np.where(feasible, pobj, _np.inf)))
+        best = int(best)
         self._last_selected = best
         self._last_n_feasible = int(feasible.sum())
         return {
-            "Z": _np.asarray(res.Z[best]),
+            "Z": _np.asarray(Z_best),
             "exit_code": 1,
             "pobj": float(pobj[best]),
-            "batch": res,
+            "batch": True,
             "selected": best,
         }
+
+    def _get_fused_step(self, B, baseP_shape, multi_modal, n_iter, reg,
+                        warm: bool):
+        """One jitted device program for a whole SH-MPC cycle: per-solver
+        scenario draws + tightest-support selection (ref scenario_module
+        sampling + 24-support reduction), parameter assembly, the
+        batched solve (warm-dual variant when `warm`), and the best-cost
+        argmin. Returns (packed scalars, Z_all, lam_l, lam_u); packed =
+        [Z_winner.ravel(), exit_codes, pobj, best, found] — one pull."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        if self._fused is None:
+            self._fused = {}
+        key = (B, baseP_shape, multi_modal, n_iter, warm)
+        if key in self._fused:
+            return self._fused[key]
+
+        cfg = self.cfg
+        N = cfg.N
+        nC = self.n_constraints
+        S = cfg.scenario_constraints.n_samples
+        n_discs = self.n_discs
+        a1_idx = jnp.asarray(reg.bundle_indices("scenario_a1"))
+        a2_idx = jnp.asarray(reg.bundle_indices("scenario_a2"))
+        b_idx = jnp.asarray(reg.bundle_indices("scenario_b"))
+        sampler = functools.partial(
+            _device_scenario_halfspaces_mm if multi_modal
+            else _device_scenario_halfspaces,
+            n_constraints=nC, n_samples=S,
+        )
+        n_data = 8 if multi_modal else 7
+        solver = self._planner.solver
+
+        def step(keys, baseP, Z0, xinit, *rest):
+            data_args = rest[:n_data]
+            warm_args = rest[n_data:]
+            a1, a2, b = jax.vmap(
+                sampler, in_axes=(0,) + (None,) * n_data
+            )(keys, *data_args)  # [B, N-1, nC]
+            P = jnp.broadcast_to(baseP[None], (B,) + baseP.shape)
+            P = P.at[:, 1:N, a1_idx].set(jnp.tile(a1, (1, 1, n_discs)))
+            P = P.at[:, 1:N, a2_idx].set(jnp.tile(a2, (1, 1, n_discs)))
+            P = P.at[:, 1:N, b_idx].set(jnp.tile(b, (1, 1, n_discs)))
+            P = P.at[:, N].set(P[:, N - 1])
+
+            warm0 = tuple(warm_args) if warm_args else None
+            res = solver.batch_impl(Z0, P, xinit, n_iter, warm0=warm0)
+            feasible = res.exit_code == 1
+            masked = jnp.where(feasible, res.pobj, jnp.inf)
+            best = jnp.argmin(masked)
+            found = jnp.isfinite(masked[best])
+            packed = jnp.concatenate([
+                res.Z[best].reshape(-1),
+                res.exit_code.astype(jnp.float32),
+                res.pobj,
+                jnp.stack([best.astype(jnp.float32),
+                           found.astype(jnp.float32)]),
+            ])
+            return packed, res.Z, res.lam_l, res.lam_u
+
+        fn = jax.jit(step)
+        self._fused[key] = fn
+        return fn
 
     def set_parameters(self, data, module_data, pblock: ParameterBlock) -> None:
         n_stages = pblock.n_stages
