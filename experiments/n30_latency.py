@@ -65,6 +65,7 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--rti", type=int, default=10)
     ap.add_argument("--warm-iters", type=int, nargs="*", default=[6, 5, 4])
+    ap.add_argument("--horizon", type=int, default=30)
     args = ap.parse_args()
 
     import jax
@@ -82,7 +83,7 @@ def main():
     for B in (1024, 128):
         Z_ref = None
         for wi in args.warm_iters:
-            cfg = default_config(N=30)
+            cfg = default_config(N=args.horizon)
             cfg = cfg.replace(solver=cfg.solver.__class__(
                 qp_warm_iterations=wi))
             model, mgr = configuration_tmpc(cfg)
