@@ -60,7 +60,7 @@ def _cc_static_config(cfg):
     return model, modules
 
 
-def _setup(name, cfg):
+def _setup(name, cfg, seed: int = 3):
     if name == "goal":
         model, modules = _goal_config(cfg)
         planner = Planner(model, modules, cfg)
@@ -82,7 +82,7 @@ def _setup(name, cfg):
         raise ValueError(name)
     planner = Planner(model, modules, cfg)
     n_peds = 0 if name == "contouring" else 3
-    state, data = corridor_scene(cfg, n_pedestrians=n_peds, seed=3)
+    state, data = corridor_scene(cfg, n_pedestrians=n_peds, seed=seed)
     if name == "cc_static":
         data.static_obstacles = [
             [
@@ -213,11 +213,12 @@ def test_dense_reference_cross_check_n30():
     _cross_check(planner, cfg)
 
 
-def test_three_way_agreement(cfg, rng):
-    """One random scene solved three independent ways — the XLA scan
+@pytest.mark.parametrize("seed", [3, 11, 19])
+def test_three_way_agreement(cfg, rng, seed):
+    """Random scenes solved three independent ways — the XLA scan
     backend, the Pallas kernel (interpret mode on CPU; the program the
     chip runs), and the dense scipy reference — must agree."""
-    planner, state, data = _setup("ellipsoid", cfg)
+    planner, state, data = _setup("ellipsoid", cfg, seed=seed)
     out = planner.solve_mpc(state, data)
     assert out.success
     pblock = planner._module_data.pblock
