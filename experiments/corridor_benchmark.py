@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--scenario-solvers", type=int, default=None,
                     help="SH-MPC parallel scenario solvers (shmpc config; "
                          "the second BASELINE.md scale axis)")
+    ap.add_argument("--scenario-samples", type=int, default=None,
+                    help="explicit scenario samples per solver (default: "
+                         "derived from probabilistic.risk via the scenario "
+                         "bound; see modules/scenario_theory.py)")
     ap.add_argument("--backend", choices=["lateral", "prm", "sampled"],
                     default=None, help="guidance backend override (A/B runs)")
     ap.add_argument("--samples-per-class", type=int, default=None,
@@ -117,6 +121,7 @@ def main():
         for n_peds in args.peds:
             durations, collisions, completed, infeasible = [], 0, 0, 0
             cycle_times, n_planners = [], 0
+            mod_records = []
             # ONE planner per row, reset between seeds — the reference
             # node persists across its num_experiments segments the same
             # way, and rebuilding would pay the jit compile per seed.
@@ -146,6 +151,12 @@ def main():
                         cfg.scenario_constraints,
                         parallel_solvers=args.scenario_solvers)
                 )
+            if args.scenario_samples:
+                cfg = cfg.replace(
+                    scenario_constraints=_dc.replace(
+                        cfg.scenario_constraints,
+                        n_samples=args.scenario_samples)
+                )
             model, modules = make_config(cfg)
             planner = Planner(model, modules, cfg)
             for seed in range(args.seeds):
@@ -166,6 +177,7 @@ def main():
                 infeasible += res.infeasible_cycles
                 # Skip the first 3 cycles per seed (jit compile/cache warm)
                 cycle_times.extend(res.cycle_times[3:])
+                mod_records.extend(res.module_records)
                 gmod = modules.get("GuidanceConstraints")
                 smod = modules.get("ScenarioConstraints")
                 if gmod is not None:
@@ -183,6 +195,34 @@ def main():
                 f"| {cyc_s} |",
                 flush=True,
             )
+            # SH-MPC scenario-theory summary (per-cycle risk certificates
+            # from module saveData): fraction of cycles with a valid
+            # certificate, its distribution, and support/saturation stats
+            # — the envelope diagnosis instrumentation.
+            certs = np.asarray([
+                r["scenario_risk_certificate"] for r in mod_records
+                if "scenario_risk_certificate" in r])
+            cert_stats = None
+            if certs.size:
+                valid = np.asarray([
+                    bool(r.get("scenario_cert_valid")) for r in mod_records
+                    if "scenario_risk_certificate" in r])
+                support = np.asarray([
+                    r.get("scenario_support_max", -1) for r in mod_records
+                    if "scenario_risk_certificate" in r])
+                cert_stats = {
+                    "n_cycles": int(certs.size),
+                    "cert_valid_frac": round(float(valid.mean()), 3),
+                    "cert_eps_median": round(float(np.median(certs[valid])), 4)
+                    if valid.any() else None,
+                    "cert_eps_p95": round(float(np.percentile(certs[valid], 95)), 4)
+                    if valid.any() else None,
+                    "support_max_median": float(np.median(support[support >= 0]))
+                    if (support >= 0).any() else None,
+                    "support_max_peak": int(support.max()) if support.size else None,
+                    "n_samples": int(mod_records[0].get("scenario_n_samples", -1)),
+                }
+                print(f"  scenario certificate: {cert_stats}", flush=True)
             if args.json:
                 import json as _json
                 print(_json.dumps({
@@ -193,6 +233,7 @@ def main():
                     "collisions": collisions, "infeasible": infeasible,
                     "cycle_ms_mean": round(float(cyc.mean()), 2) if cyc.size else None,
                     "cycle_ms_p99": round(float(np.percentile(cyc, 99)), 2) if cyc.size else None,
+                    "scenario_certificate": cert_stats,
                 }), flush=True)
 
 

@@ -22,14 +22,16 @@ from mpc_planner_tpu.parameters import ParameterBlock, ParameterRegistry
 
 def _device_scenario_halfspaces(key, pred_position, pred_angle, pred_major,
                                 pred_minor, radius, p_ws, robot_r,
-                                n_constraints: int, n_samples: int):
-    """Device-side scenario sampling + support selection for one solver.
+                                n_samples: int):
+    """Device-side scenario sampling for one solver.
 
-    pred_* [M, N-1(,2)]; p_ws [N-1, 2]. Returns (a1, a2, b) [N-1, nC].
-    Vectorized draw of S samples per obstacle, separating halfspace per
-    sample, tightest-nC per stage via top_k — the scenario_module
-    capability as one jittable function (vmapped over parallel solvers).
-    """
+    pred_* [M, N-1(,2)]; p_ws [N-1, 2]. Returns (a1, a2, b, margin), each
+    [S*M, N-1]: a separating halfspace per (sample, obstacle) pair, with
+    `margin` = signed clearance of the warmstart position against it
+    (used for tightest-support selection). Joint-scenario indexing: flat
+    row s*M + m is obstacle m's constraint in joint scenario s — the
+    scenario_module capability as one jittable function (vmapped over
+    parallel solvers)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,15 +53,12 @@ def _device_scenario_halfspaces(key, pred_position, pred_angle, pred_major,
     rad = jnp.tile(radius, S)[:, None] + robot_r
     b = a1 * flat[..., 0] + a2 * flat[..., 1] - rad
     margin = a1 * p_ws[None, :, 0] + a2 * p_ws[None, :, 1] - b  # [S*M, N-1]
-
-    _, idx = jax.lax.top_k(margin.T, n_constraints)  # [N-1, nC]
-    kk = jnp.arange(Nm1)[:, None]
-    return a1.T[kk, idx], a2.T[kk, idx], b.T[kk, idx]
+    return a1, a2, b, margin
 
 
 def _device_scenario_halfspaces_mm(key, modes_position, modes_angle, modes_major,
                                    modes_minor, modes_logprob, radius, p_ws, robot_r,
-                                   n_constraints: int, n_samples: int):
+                                   n_samples: int):
     """Multi-modal (GMM / non-Gaussian) variant: draw a mode per sample by
     probability, then Gaussian noise around that mode (the reference's
     scenario_module samples non-Gaussian predictions the same way;
@@ -96,22 +95,51 @@ def _device_scenario_halfspaces_mm(key, modes_position, modes_angle, modes_major
     rad = jnp.tile(radius, S)[:, None] + robot_r
     b = a1 * flat[..., 0] + a2 * flat[..., 1] - rad
     margin = a1 * p_ws[None, :, 0] + a2 * p_ws[None, :, 1] - b
+    return a1, a2, b, margin
 
-    _, idx = jax.lax.top_k(margin.T, n_constraints)
-    kk = jnp.arange(Nm1)[:, None]
-    return a1.T[kk, idx], a2.T[kk, idx], b.T[kk, idx]
+
+def _select_tightest(a1, a2, b, margin, n_constraints: int):
+    """Top-k tightest-support selection for one solver: keep the
+    `n_constraints` halfspaces with the smallest warmstart clearance per
+    stage. Inputs [S*M, N-1]; returns (a1, a2, b, idx) each [N-1, nC]
+    (idx = flat sample-obstacle row of each kept halfspace)."""
+    import jax
+    import jax.numpy as jnp
+
+    _, idx = jax.lax.top_k(margin.T, n_constraints)  # [N-1, nC]
+    kk = jnp.arange(margin.shape[1])[:, None]
+    return a1.T[kk, idx], a2.T[kk, idx], b.T[kk, idx], idx
 
 
 class ScenarioConstraintModule(ConstraintModule):
     module_name = "ScenarioConstraints"
     description = "Scenario-based obstacle avoidance under motion uncertainty"
 
+    #: QP dual above this counts the halfspace as active (support member).
+    ACTIVE_DUAL_TOL = 1e-6
+    #: Discarded-sample constraint violation beyond this at the returned
+    #: solution means top-k pruning was NOT exact -> certificate invalid.
+    PRUNE_TOL = 1e-4
+
     def __init__(self, cfg):
+        from mpc_planner_tpu.modules.scenario_theory import sample_size
+
         self.cfg = cfg
         self.n_discs = cfg.n_discs
-        self.n_constraints = cfg.scenario_constraints.n_constraints
+        sc = cfg.scenario_constraints
+        self.n_constraints = sc.n_constraints
         self.num_constraints = self.n_constraints * self.n_discs
         self.use_slack = True
+        # Scenario-theory linkage (modules/scenario_theory.py): the
+        # configured risk governs the draw unless n_samples is explicit.
+        self._beta = sc.confidence
+        n_cert = sc.parallel_solvers * max(cfg.N - 1, 1)
+        self._beta_stage = self._beta / n_cert
+        if sc.n_samples is None:
+            self.n_samples = sample_size(
+                cfg.probabilistic.risk, self._beta_stage, sc.support_bound)
+        else:
+            self.n_samples = int(sc.n_samples)
         self._planner = None
         self._sample_seed = 0
         # (lam_l, lam_u, ok) carried across cycles — DEVICE arrays (a
@@ -175,7 +203,7 @@ class ScenarioConstraintModule(ConstraintModule):
         cfg = self.cfg
         model = planner.model
         N = cfg.N
-        S = cfg.scenario_constraints.n_samples
+        S = self.n_samples
         B = cfg.scenario_constraints.parallel_solvers
         M = blk.position.shape[0]
         nC = self.n_constraints
@@ -249,9 +277,14 @@ class ScenarioConstraintModule(ConstraintModule):
             Zb = packed_np[:nz].reshape(N + 1, nvar)
             codes = packed_np[nz:nz + B].astype(_np.int32)
             po = packed_np[nz + B:nz + 2 * B].astype(float)
-            return Zb, int(packed_np[-2]), bool(packed_np[-1] > 0.5), codes, po
+            support = packed_np[nz + 2 * B:nz + 3 * B].astype(float)
+            cert = packed_np[nz + 3 * B:nz + 4 * B].astype(float)
+            valid = packed_np[nz + 4 * B:nz + 5 * B] > 0.5
+            return (Zb, int(packed_np[-2]), bool(packed_np[-1] > 0.5),
+                    codes, po, support, cert, valid)
 
-        Z_best, best, found, exit_codes, pobj = _unpack(
+        (Z_best, best, found, exit_codes, pobj,
+         support, cert, cert_valid) = _unpack(
             _np.asarray(_jax.device_get(packed_d)))
         if ll_d is not None:
             self._prev_duals = (ll_d, lu_d, _jax.numpy.asarray(exit_codes == 1))
@@ -269,13 +302,17 @@ class ScenarioConstraintModule(ConstraintModule):
                     keys, jnp.asarray(_np.asarray(base_P, _np.float32)),
                     jnp.asarray(Z0), jnp.asarray(xinit), *data_args)
                 packed_c, Zall_c, ll_c, lu_c = out_c
-                _, _, _, codes_cold, pobj_cold = _unpack(
+                (_, _, _, codes_cold, pobj_cold,
+                 support_cold, cert_cold, valid_cold) = _unpack(
                     _np.asarray(_jax.device_get(packed_c)))
                 adopt = failed & (codes_cold > exit_codes)
                 if adopt.any():
                     m = jnp.asarray(adopt)[:, None, None]
                     exit_codes = _np.where(adopt, codes_cold, exit_codes)
                     pobj = _np.where(adopt, pobj_cold, pobj)
+                    support = _np.where(adopt, support_cold, support)
+                    cert = _np.where(adopt, cert_cold, cert)
+                    cert_valid = _np.where(adopt, valid_cold, cert_valid)
                     Zall_d = jnp.where(m, Zall_c, Zall_d)
                     self._prev_duals = (
                         jnp.where(m, ll_c, ll_d),
@@ -289,11 +326,22 @@ class ScenarioConstraintModule(ConstraintModule):
                     Z_best = _np.asarray(Zall_d[best])
 
         feasible = exit_codes == 1
+        # Per-cycle scenario-theory record (all solvers, for saveData and
+        # envelope diagnosis): observed max per-stage support, a-posteriori
+        # risk certificate eps(s), and whether the top-k pruning was exact
+        # (certificate validity).
+        self._last_support_all = support
+        self._last_cert_all = cert
+        self._last_cert_valid_all = _np.asarray(cert_valid, bool)
         if not bool(found):
+            self._last_certificate = 1.0
             return {"Z": _np.asarray(Z_main), "exit_code": -1, "pobj": float("inf")}
         best = int(best)
         self._last_selected = best
         self._last_n_feasible = int(feasible.sum())
+        self._last_certificate = float(cert[best])
+        self._last_support_max = int(support[best])
+        self._last_cert_valid = bool(cert_valid[best])
         return {
             "Z": _np.asarray(Z_best),
             "exit_code": 1,
@@ -302,18 +350,38 @@ class ScenarioConstraintModule(ConstraintModule):
             "selected": best,
         }
 
+    def _h_row_offset(self) -> int:
+        """Row offset of this module's constraints within the stacked
+        h-rows (module constraint order = module order, solver rows =
+        [nu box, nx box, nh])."""
+        off = 0
+        for m in self._planner.modules:
+            if m is self:
+                return off
+            off += m.nh
+        raise RuntimeError("scenario module not found in planner modules")
+
     def _get_fused_step(self, B, baseP_shape, multi_modal, n_iter, reg,
                         warm: bool):
         """One jitted device program for a whole SH-MPC cycle: per-solver
         scenario draws + tightest-support selection (ref scenario_module
         sampling + 24-support reduction), parameter assembly, the
-        batched solve (warm-dual variant when `warm`), and the best-cost
-        argmin. Returns (packed scalars, Z_all, lam_l, lam_u); packed =
-        [Z_winner.ravel(), exit_codes, pobj, best, found] — one pull."""
+        batched solve (warm-dual variant when `warm`), the best-cost
+        argmin, AND the scenario-theory accounting (per-stage support
+        counts from the QP duals, top-k pruning exactness check, and the
+        a-posteriori risk certificate eps(s) per solver —
+        modules/scenario_theory.py). Returns (packed scalars, Z_all,
+        lam_l, lam_u); packed = [Z_winner.ravel(), exit_codes[B],
+        pobj[B], support_max[B], certificate[B], cert_valid[B], best,
+        found] — one pull."""
         import functools
 
         import jax
         import jax.numpy as jnp
+
+        from mpc_planner_tpu.modules.scenario_theory import (
+            epsilon_posterior_jax,
+        )
 
         if self._fused is None:
             self._fused = {}
@@ -324,25 +392,49 @@ class ScenarioConstraintModule(ConstraintModule):
         cfg = self.cfg
         N = cfg.N
         nC = self.n_constraints
-        S = cfg.scenario_constraints.n_samples
+        S = self.n_samples
+        beta_stage = self._beta_stage
         n_discs = self.n_discs
         a1_idx = jnp.asarray(reg.bundle_indices("scenario_a1"))
         a2_idx = jnp.asarray(reg.bundle_indices("scenario_a2"))
         b_idx = jnp.asarray(reg.bundle_indices("scenario_b"))
+        off_idx = np.asarray(reg.bundle_indices("ego_disc_offset"))
         sampler = functools.partial(
             _device_scenario_halfspaces_mm if multi_modal
             else _device_scenario_halfspaces,
-            n_constraints=nC, n_samples=S,
+            n_samples=S,
         )
         n_data = 8 if multi_modal else 7
-        solver = self._planner.solver
+        planner = self._planner
+        solver = planner.solver
+        model = planner.model
+        ocp = planner.ocp
+        xi, yi = model.index("x"), model.index("y")
+        psi_i = model.index("psi") if "psi" in model.states else None
+        slack_i = model.index("slack") if "slack" in model.states else None
+        # This module's dual rows: [nu box | nx box | nh], scenario block
+        # at its module offset, disc-major (see constraints()).
+        row0 = ocp.nu + ocp.nx + self._h_row_offset()
+        active_tol = self.ACTIVE_DUAL_TOL
+        prune_tol = self.PRUNE_TOL
 
         def step(keys, baseP, Z0, xinit, *rest):
             data_args = rest[:n_data]
             warm_args = rest[n_data:]
-            a1, a2, b = jax.vmap(
+            n_obs = data_args[0].shape[0]
+            a1f, a2f, bf, marginf = jax.vmap(
                 sampler, in_axes=(0,) + (None,) * n_data
-            )(keys, *data_args)  # [B, N-1, nC]
+            )(keys, *data_args)  # each [B, S*M, N-1]
+            # Tightest-nC support selection per stage (scenario_module's
+            # 24-halfspace reduction), exactness-checked post-solve.
+            _, idx = jax.lax.top_k(
+                marginf.transpose(0, 2, 1), nC)  # [B, N-1, nC]
+            take = jnp.take_along_axis
+            a1 = take(a1f.transpose(0, 2, 1), idx, axis=-1)
+            a2 = take(a2f.transpose(0, 2, 1), idx, axis=-1)
+            b = take(bf.transpose(0, 2, 1), idx, axis=-1)
+            sample_idx = idx // n_obs  # joint-scenario index per kept row
+
             P = jnp.broadcast_to(baseP[None], (B,) + baseP.shape)
             P = P.at[:, 1:N, a1_idx].set(jnp.tile(a1, (1, 1, n_discs)))
             P = P.at[:, 1:N, a2_idx].set(jnp.tile(a2, (1, 1, n_discs)))
@@ -355,10 +447,60 @@ class ScenarioConstraintModule(ConstraintModule):
             masked = jnp.where(feasible, res.pobj, jnp.inf)
             best = jnp.argmin(masked)
             found = jnp.isfinite(masked[best])
+
+            # -- scenario-theory accounting --------------------------------
+            # Support count per stage: DISTINCT joint scenarios among the
+            # active kept halfspaces (dual > tol on any disc row).
+            lam = res.lam_u[:, 1:N, row0:row0 + n_discs * nC]
+            lam = lam.reshape(B, N - 1, n_discs, nC).max(axis=2)
+            active = lam > active_tol  # [B, N-1, nC]
+
+            def stage_support(sidx_k, act_k):
+                buf = jnp.zeros((S,), jnp.float32)
+                return buf.at[sidx_k].max(act_k.astype(jnp.float32)).sum()
+
+            support = jax.vmap(jax.vmap(stage_support))(sample_idx, active)
+
+            # Pruning exactness: every DISCARDED sample's halfspace must be
+            # satisfied at the returned solution (for every disc), else the
+            # solved program is not the full scenario program.
+            px = res.Z[:, 1:N, xi]
+            py = res.Z[:, 1:N, yi]
+            cpsi = (jnp.cos(res.Z[:, 1:N, psi_i]) if psi_i is not None
+                    else jnp.ones_like(px))
+            spsi = (jnp.sin(res.Z[:, 1:N, psi_i]) if psi_i is not None
+                    else jnp.zeros_like(px))
+            offsets = baseP[1, off_idx]  # [n_discs], constant across stages
+            pdx = px[..., None] + offsets * cpsi[..., None]  # [B, N-1, D]
+            pdy = py[..., None] + offsets * spsi[..., None]
+            slack = (res.Z[:, 1:N, slack_i] if slack_i is not None
+                     else jnp.zeros_like(px))
+            a1s = a1f.transpose(0, 2, 1)  # [B, N-1, S*M]
+            a2s = a2f.transpose(0, 2, 1)
+            bs = bf.transpose(0, 2, 1)
+            viol = (a1s[:, :, None, :] * pdx[..., None]
+                    + a2s[:, :, None, :] * pdy[..., None]
+                    - bs[:, :, None, :]
+                    - slack[:, :, None, None]).max(axis=2)  # [B, N-1, S*M]
+
+            def kept_mask(idx_k):
+                return jnp.zeros((viol.shape[-1],), jnp.bool_).at[idx_k].set(True)
+
+            kept = jax.vmap(jax.vmap(kept_mask))(idx)  # [B, N-1, S*M]
+            disc_viol = jnp.where(kept, -jnp.inf, viol).max(axis=-1)
+            prune_ok = jnp.all(disc_viol <= prune_tol, axis=-1)  # [B]
+
+            eps_k = epsilon_posterior_jax(support, S, beta_stage)
+            cert = jnp.where(prune_ok, eps_k.max(axis=-1), 1.0)  # [B]
+            support_max = support.max(axis=-1)  # [B]
+
             packed = jnp.concatenate([
                 res.Z[best].reshape(-1),
                 res.exit_code.astype(jnp.float32),
                 res.pobj,
+                support_max,
+                cert,
+                prune_ok.astype(jnp.float32),
                 jnp.stack([best.astype(jnp.float32),
                            found.astype(jnp.float32)]),
             ])
@@ -381,10 +523,22 @@ class ScenarioConstraintModule(ConstraintModule):
 
     def save_data(self, record: dict) -> None:
         """Per-cycle scenario solver metrics (ref scenario_constraints.cpp
-        saveData via the module saveData chain)."""
+        saveData via the module saveData chain), incl. the per-cycle risk
+        certificate from the scenario-theory layer."""
         record["scenario_selected_solver"] = getattr(self, "_last_selected", -1)
         record["scenario_n_solvers"] = self.cfg.scenario_constraints.parallel_solvers
         record["scenario_n_feasible"] = getattr(self, "_last_n_feasible", 0)
+        record["scenario_n_samples"] = self.n_samples
+        # a-posteriori violation-probability bound eps(s) for the selected
+        # solver at confidence 1 - scenario_constraints.confidence
+        # (1.0 = no guarantee this cycle: infeasible or pruning inexact)
+        record["scenario_risk_certificate"] = getattr(
+            self, "_last_certificate", 1.0)
+        record["scenario_support_max"] = getattr(self, "_last_support_max", -1)
+        record["scenario_cert_valid"] = getattr(self, "_last_cert_valid", False)
+        record["scenario_support_bound_exceeded"] = (
+            getattr(self, "_last_support_max", -1)
+            > self.cfg.scenario_constraints.support_bound)
 
     def reset(self) -> None:
         self._prev_duals = None

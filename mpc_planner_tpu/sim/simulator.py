@@ -52,6 +52,9 @@ class SimResult:
     # Wall-clock per control cycle (data prep + solve), seconds — the
     # closed-loop realtime evidence (ref planner.cpp's 1/f budget).
     cycle_times: List[float] = field(default_factory=list)
+    # Per-cycle module saveData records (ref ExperimentUtil iteration
+    # records) — carries e.g. the SH-MPC risk certificate per cycle.
+    module_records: List[dict] = field(default_factory=list)
 
     @property
     def cycle_ms_mean(self) -> float:
@@ -174,6 +177,8 @@ class ClosedLoopSimulator:
             data = self._make_data(state)
             out = self.planner.solve_mpc(state, data)
             result.cycle_times.append(_time.perf_counter() - t0)
+            result.module_records.append(
+                self.planner.modules.save_data_all())
 
             if out.success:
                 a = self.planner.get_solution(0, "a")

@@ -99,7 +99,19 @@ class ProbabilisticConfig:
 class ScenarioConfig:
     parallel_solvers: int = 4
     n_constraints: int = 24  # halfspaces per stage (ref scenario_constraints.py:26)
-    n_samples: int = 100  # scenario samples drawn per solver
+    # Scenario samples drawn per solver. None (default) derives the draw
+    # from (probabilistic.risk, confidence, support_bound) via the
+    # nonconvex scenario bound (modules/scenario_theory.py::sample_size)
+    # so the configured risk GOVERNS the draw, as the reference's
+    # scenario_module does. An explicit int overrides the sizing (e.g.
+    # for 1000+-solver scale runs where per-solver memory matters); the
+    # a-posteriori certificate is computed either way.
+    n_samples: Optional[int] = None
+    confidence: float = 0.01  # beta: certificate holds w.p. >= 1 - beta
+    # Design target for per-stage support cardinality, used ONLY to size
+    # the draw (per-stage halfspaces act on the 2D stage position + the
+    # shared slack); the certificate uses the observed count.
+    support_bound: int = 3
     enable_safe_horizon: bool = True
 
 
