@@ -227,26 +227,38 @@ class GuidanceConstraintModule(ConstraintModule):
             Zb = packed_np[:nz].reshape(N + 1, nvar)
             codes = packed_np[nz:nz + B].astype(_np.int32)
             po = packed_np[nz + B:nz + 2 * B].astype(float)
-            return Zb, int(packed_np[-2]), bool(packed_np[-1] > 0.5), codes, po
+            mu = packed_np[nz + 2 * B:nz + 3 * B].astype(float)
+            return (Zb, int(packed_np[-2]), bool(packed_np[-1] > 0.5),
+                    codes, po, mu)
 
         # THE one blocking pull of the cycle.
-        Z_best, best, found, exit_codes, pobj = _unpack(
+        Z_best, best, found, exit_codes, pobj, qp_mu = _unpack(
             _np.asarray(_jax.device_get(packed_d)))
         if ll_d is not None:
             # Stays on device — consumed by next cycle's solve only.
             self._prev_duals = (ll_d, lu_d, _jax.numpy.asarray(exit_codes == 1))
 
-        # In-cycle cold retry of hard warm-dual failures (the same
-        # semantics solve_batch applies): one extra fused dispatch on
-        # failure cycles only. (`warm[2]` is a device array — only pull
-        # it once a failure is actually present.)
+        # In-cycle escalation of hard warm-dual failures AND soft stalls
+        # (feasible but barrier mu above qp_mu_stall — not actually
+        # converged at the short warm budget; same semantics solve_batch
+        # applies): one extra fused dispatch on flagged cycles only.
+        # (`warm[2]` is a device array — only pull it once a flag is
+        # actually present.)
         retry = getattr(planner.solver, "qp_retry_cold", True)
-        if warm is not None and retry and (exit_codes == -1).any():
-            failed = (exit_codes == -1) & _np.asarray(warm[2])
-            if failed.any():
+        mu_stall = getattr(planner.solver, "qp_mu_stall", 1e-3)
+        stalled_f = (exit_codes == 1) & (qp_mu > mu_stall)
+        if retry and ((exit_codes == -1) | stalled_f).any():
+            # Cold cycles escalate every flagged element; warm cycles only
+            # those whose carried duals were actually applied (ok=False
+            # elements already solved cold inside the warm program).
+            applied = (_np.ones(B, bool) if warm is None
+                       else _np.asarray(warm[2]))
+            failed = (exit_codes == -1) & applied
+            stalled = stalled_f & applied
+            if (failed | stalled).any():
                 step_c = self._get_fused_step(
                     B, base_P.shape, blk.pred_position.shape[0], n_iter,
-                    module_data.pblock.registry, False)
+                    module_data.pblock.registry, False, escalated=True)
                 out_c = step_c(
                     _jax.numpy.asarray(_np.asarray(base_P, _np.float32)),
                     _jax.numpy.asarray(pos_all),
@@ -260,9 +272,10 @@ class GuidanceConstraintModule(ConstraintModule):
                     _jax.numpy.asarray(braking_mask),
                 )
                 (packed_c, Zall_c, ll_c, lu_c) = out_c
-                _, _, _, codes_cold, pobj_cold = _unpack(
+                _, _, _, codes_cold, pobj_cold, _ = _unpack(
                     _np.asarray(_jax.device_get(packed_c)))
-                adopt = failed & (codes_cold > exit_codes)
+                adopt = (failed & (codes_cold > exit_codes)) | (
+                    stalled & (codes_cold == 1))
                 if adopt.any():
                     import jax.numpy as _jnp
 
@@ -314,7 +327,7 @@ class GuidanceConstraintModule(ConstraintModule):
         }
 
     def _get_fused_step(self, B, baseP_shape, n_obs, n_iter, reg,
-                        warm: bool):
+                        warm: bool, escalated: bool = False):
         """One jitted device program for a whole control cycle:
 
         1. per-planner parameter assembly — broadcast the shared base
@@ -336,7 +349,7 @@ class GuidanceConstraintModule(ConstraintModule):
         N = self.cfg.N
         if self._assemble is None:
             self._assemble = {}
-        key = (B, baseP_shape, n_obs, n_iter, warm)
+        key = (B, baseP_shape, n_obs, n_iter, warm, escalated)
         if key in self._assemble:
             return self._assemble[key]
 
@@ -366,7 +379,8 @@ class GuidanceConstraintModule(ConstraintModule):
             P = P.at[:, N].set(P[:, N - 1])
 
             warm0 = tuple(warm_args) if warm_args else None
-            res = solver.batch_impl(Z0, P, xinit, n_iter, warm0=warm0)
+            res = solver.batch_impl(Z0, P, xinit, n_iter, warm0=warm0,
+                                    escalated=escalated)
 
             feasible = res.exit_code == 1
             nb = feasible & ~braking
@@ -382,6 +396,7 @@ class GuidanceConstraintModule(ConstraintModule):
                 res.Z[best].reshape(-1),
                 res.exit_code.astype(jnp.float32),
                 res.pobj,
+                res.qp_mu.astype(jnp.float32),  # stall-escalation signal
                 jnp.stack([best.astype(jnp.float32),
                            found.astype(jnp.float32)]),
             ])

@@ -277,35 +277,44 @@ class ScenarioConstraintModule(ConstraintModule):
             Zb = packed_np[:nz].reshape(N + 1, nvar)
             codes = packed_np[nz:nz + B].astype(_np.int32)
             po = packed_np[nz + B:nz + 2 * B].astype(float)
-            support = packed_np[nz + 2 * B:nz + 3 * B].astype(float)
-            cert = packed_np[nz + 3 * B:nz + 4 * B].astype(float)
-            valid = packed_np[nz + 4 * B:nz + 5 * B] > 0.5
+            mu = packed_np[nz + 2 * B:nz + 3 * B].astype(float)
+            support = packed_np[nz + 3 * B:nz + 4 * B].astype(float)
+            cert = packed_np[nz + 4 * B:nz + 5 * B].astype(float)
+            valid = packed_np[nz + 5 * B:nz + 6 * B] > 0.5
             return (Zb, int(packed_np[-2]), bool(packed_np[-1] > 0.5),
-                    codes, po, support, cert, valid)
+                    codes, po, mu, support, cert, valid)
 
-        (Z_best, best, found, exit_codes, pobj,
+        (Z_best, best, found, exit_codes, pobj, qp_mu,
          support, cert, cert_valid) = _unpack(
             _np.asarray(_jax.device_get(packed_d)))
         if ll_d is not None:
             self._prev_duals = (ll_d, lu_d, _jax.numpy.asarray(exit_codes == 1))
 
-        # In-cycle cold retry of hard warm-dual failures (failure cycles
-        # only; same semantics as solve_batch's retry).
+        # In-cycle escalation of hard warm-dual failures and soft stalls
+        # (feasible but mu > qp_mu_stall; same semantics as solve_batch).
         retry = getattr(planner.solver, "qp_retry_cold", True)
-        if warm is not None and retry and (exit_codes == -1).any():
-            failed = (exit_codes == -1) & _np.asarray(warm[2])
-            if failed.any():
+        mu_stall = getattr(planner.solver, "qp_mu_stall", 1e-3)
+        stalled_f = (exit_codes == 1) & (qp_mu > mu_stall)
+        if retry and ((exit_codes == -1) | stalled_f).any():
+            # Cold cycles escalate every flagged element; warm cycles only
+            # those whose carried duals were actually applied.
+            applied = (_np.ones(B, bool) if warm is None
+                       else _np.asarray(warm[2]))
+            failed = (exit_codes == -1) & applied
+            stalled = stalled_f & applied
+            if (failed | stalled).any():
                 step_c = self._get_fused_step(
                     B, base_P.shape, multi_modal, n_iter,
-                    module_data.pblock.registry, False)
+                    module_data.pblock.registry, False, escalated=True)
                 out_c = step_c(
                     keys, jnp.asarray(_np.asarray(base_P, _np.float32)),
                     jnp.asarray(Z0), jnp.asarray(xinit), *data_args)
                 packed_c, Zall_c, ll_c, lu_c = out_c
-                (_, _, _, codes_cold, pobj_cold,
+                (_, _, _, codes_cold, pobj_cold, _,
                  support_cold, cert_cold, valid_cold) = _unpack(
                     _np.asarray(_jax.device_get(packed_c)))
-                adopt = failed & (codes_cold > exit_codes)
+                adopt = (failed & (codes_cold > exit_codes)) | (
+                    stalled & (codes_cold == 1))
                 if adopt.any():
                     m = jnp.asarray(adopt)[:, None, None]
                     exit_codes = _np.where(adopt, codes_cold, exit_codes)
@@ -362,7 +371,7 @@ class ScenarioConstraintModule(ConstraintModule):
         raise RuntimeError("scenario module not found in planner modules")
 
     def _get_fused_step(self, B, baseP_shape, multi_modal, n_iter, reg,
-                        warm: bool):
+                        warm: bool, escalated: bool = False):
         """One jitted device program for a whole SH-MPC cycle: per-solver
         scenario draws + tightest-support selection (ref scenario_module
         sampling + 24-support reduction), parameter assembly, the
@@ -385,7 +394,7 @@ class ScenarioConstraintModule(ConstraintModule):
 
         if self._fused is None:
             self._fused = {}
-        key = (B, baseP_shape, multi_modal, n_iter, warm)
+        key = (B, baseP_shape, multi_modal, n_iter, warm, escalated)
         if key in self._fused:
             return self._fused[key]
 
@@ -442,7 +451,8 @@ class ScenarioConstraintModule(ConstraintModule):
             P = P.at[:, N].set(P[:, N - 1])
 
             warm0 = tuple(warm_args) if warm_args else None
-            res = solver.batch_impl(Z0, P, xinit, n_iter, warm0=warm0)
+            res = solver.batch_impl(Z0, P, xinit, n_iter, warm0=warm0,
+                                    escalated=escalated)
             feasible = res.exit_code == 1
             masked = jnp.where(feasible, res.pobj, jnp.inf)
             best = jnp.argmin(masked)
@@ -498,6 +508,7 @@ class ScenarioConstraintModule(ConstraintModule):
                 res.Z[best].reshape(-1),
                 res.exit_code.astype(jnp.float32),
                 res.pobj,
+                res.qp_mu.astype(jnp.float32),  # stall-escalation signal
                 support_max,
                 cert,
                 prune_ok.astype(jnp.float32),

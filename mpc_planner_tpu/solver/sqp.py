@@ -90,12 +90,16 @@ class SQPSolver:
             cfg.solver.qp_iterations if qp_iterations is None else qp_iterations
         )
         # Warm-QP IP iteration count (RTI iterations >= 2 / dual-carried
-        # first QPs): explicit config override, else the measured-safe
-        # auto rule (docs/PERF_NOTES.md iteration tuning).
+        # first QPs): explicit config override, else 4 — the gated-fast
+        # setting made safe-by-default by per-element stall escalation
+        # (any element whose final barrier mu exceeds qp_mu_stall, or
+        # that fails res_eq, is re-solved at the full cold budget through
+        # the in-cycle retry dispatch; docs/PERF_NOTES.md).
         _wqi = int(getattr(cfg.solver, "qp_warm_iterations", 0) or 0)
-        self.warm_qp_iters = (
-            _wqi if _wqi > 0 else max(6, self.qp_iterations * 2 // 3)
-        )
+        self.warm_qp_iters = _wqi if _wqi > 0 else 4
+        self.qp_mu_stall = float(getattr(cfg.solver, "qp_mu_stall", 1e-3))
+        # Wide QP kernel dispatch: blocks per Pallas call (0 = auto).
+        self.qp_wide = int(getattr(cfg.solver, "qp_wide_blocks", 0))
         self.lm = cfg.solver.levenberg_marquardt
         self.tol_eq = cfg.solver.tol_eq_residual
         self.mu0 = cfg.solver.qp_mu0
@@ -408,15 +412,18 @@ class SQPSolver:
                       mask_l=mask_l, mask_u=mask_u)
 
     # -- SQP-RTI loop -----------------------------------------------------
-    def _solve(self, Z0, P, xinit, num_iterations: int, warm0=None):
+    def _solve(self, Z0, P, xinit, num_iterations: int, warm0=None,
+               warm_iters=None):
         # TPU matmuls default to bf16 passes; the Riccati recursion loses
         # positive-definiteness at bf16 and Cholesky NaNs. Force true-f32
         # matmuls for everything traced inside the solver (tiny matrices —
         # the cost is negligible, the solve is latency-bound).
         with jax.default_matmul_precision("highest"):
-            return self._solve_inner(Z0, P, xinit, num_iterations, warm0)
+            return self._solve_inner(Z0, P, xinit, num_iterations, warm0,
+                                     warm_iters)
 
-    def _solve_inner(self, Z0, P, xinit, num_iterations: int, warm0=None):
+    def _solve_inner(self, Z0, P, xinit, num_iterations: int, warm0=None,
+                     warm_iters=None):
         ocp = self.ocp
         nu, nx = ocp.nu, ocp.nx
 
@@ -430,8 +437,8 @@ class SQPSolver:
         # warm_start=2) and need far fewer IP iterations.
         sqp_mode = self.solver_type == "SQP"
 
-        it0 = self.qp_iterations if warm0 is None else max(
-            6, self.qp_iterations * 2 // 3)
+        wi = self.warm_qp_iters if warm_iters is None else int(warm_iters)
+        it0 = self.qp_iterations if warm0 is None else wi
         warm_mehrotra = not self.warm_corrector_only
         qp0 = self._linearize(Z0, P)
         sol0 = solve_qp(qp0, nu, nx, iterations=it0,
@@ -445,7 +452,7 @@ class SQPSolver:
             Z, mus, done, iters = Z1, sol0.mu[None], done1, jnp.int32(1)
             lam_l_fin, lam_u_fin = sol0.lam_l, sol0.lam_u
         else:
-            warm_iters = self.warm_qp_iters
+            warm_iters = wi
 
             def rti_iter(carry, _):
                 Z, lam_l, lam_u, mu_prev, done, iters = carry
@@ -494,7 +501,8 @@ class SQPSolver:
                            iters=iters, lam_l=lam_l_fin, lam_u=lam_u_fin)
 
     # -- fused batched solve (Pallas QP backend) --------------------------
-    def _solve_batch_pallas(self, Z0, P, xinit, num_iterations: int, warm0=None):
+    def _solve_batch_pallas(self, Z0, P, xinit, num_iterations: int, warm0=None,
+                            warm_iters=None):
         """Batch-level SQP-RTI: XLA linearization (vmapped) + one fused
         Pallas kernel per QP. Z0 [B, N+1, nvar], P [B, N+1, npar],
         xinit [B, nx]. `warm0` = (lam_l, lam_u, ok[B]) duals carried from
@@ -544,13 +552,14 @@ class SQPSolver:
             sqp_mode = self.solver_type == "SQP"
             Bb = Z0.shape[0]
 
-            it0 = self.qp_iterations if warm0 is None else self.warm_qp_iters
+            wi = self.warm_qp_iters if warm_iters is None else int(warm_iters)
+            it0 = self.qp_iterations if warm0 is None else wi
             warm_mehrotra = not self.warm_corrector_only
             qp0 = lin(Z0, P)
             sol0 = solve_qp_pallas(
                 qp0, nu, nx, iterations=it0, mu0=self.mu0, warm_duals=warm0,
                 mehrotra=(warm0 is None) or warm_mehrotra,
-                sigma_fixed=self.warm_sigma, **mirror_kw,
+                sigma_fixed=self.warm_sigma, wide=self.qp_wide, **mirror_kw,
             )
             Z1 = Z0 + sol0.dz
             done1 = jnp.max(jnp.abs(sol0.dz), axis=(1, 2)) < self.tol_stat  # [B]
@@ -559,7 +568,7 @@ class SQPSolver:
                 iters = jnp.ones((Bb,), jnp.int32)
                 ll_fin, lu_fin = sol0.lam_l, sol0.lam_u
             else:
-                warm_iters = self.warm_qp_iters
+                warm_iters = wi
 
                 def rti_iter(carry, _):
                     Z, ll, lu, mu, done, iters = carry
@@ -568,7 +577,8 @@ class SQPSolver:
                         qp, nu, nx, iterations=warm_iters, mu0=self.mu0,
                         warm_duals=(ll, lu, mu < 1e-2),
                         mehrotra=warm_mehrotra,
-                        sigma_fixed=self.warm_sigma, **mirror_kw,
+                        sigma_fixed=self.warm_sigma, wide=self.qp_wide,
+                        **mirror_kw,
                     )
                     if sqp_mode:
                         Z_new = jnp.where(done[:, None, None], Z, Z + sol.dz)
@@ -607,7 +617,8 @@ class SQPSolver:
                                lam_l=ll_fin, lam_u=lu_fin)
 
     # -- fully fused batched solve (whole RTI loop in-kernel) -------------
-    def _solve_batch_fused(self, Z0, P, xinit, num_iterations: int, warm0=None):
+    def _solve_batch_fused(self, Z0, P, xinit, num_iterations: int, warm0=None,
+                           warm_iters=None):
         """Whole-solve fused path: ops/pallas_rti.py runs linearization,
         MIRROR and every QP inside one kernel launch per 128-lane block.
         Same warm-start ladder as `_solve_batch_pallas`."""
@@ -618,8 +629,9 @@ class SQPSolver:
 
         with jax.default_matmul_precision("highest"):
             Z0 = Z0.at[:, 0, nu:].set(xinit)
-            it0 = self.qp_iterations if warm0 is None else self.warm_qp_iters
-            warm_iters = self.warm_qp_iters
+            wi = self.warm_qp_iters if warm_iters is None else int(warm_iters)
+            it0 = self.qp_iterations if warm0 is None else wi
+            warm_iters = wi
             res = solve_rti_pallas(
                 Z0, P,
                 dyn_fn=ocp.dynamics_fn, run_cost=ocp.running_cost,
@@ -653,30 +665,38 @@ class SQPSolver:
                 lam_l=res.lam_l, lam_u=res.lam_u,
             )
 
-    def batch_impl(self, Z0, P, xinit, num_iterations: int, warm0=None):
+    def batch_impl(self, Z0, P, xinit, num_iterations: int, warm0=None,
+                   escalated: bool = False):
         """Traceable batched solve on the configured backend (no jit —
         compose under your own jit/shardings, e.g. parallel/distributed
-        step functions)."""
+        step functions). `escalated` runs EVERY QP at the full cold
+        iteration budget — the conservative program the stall-escalation
+        retry dispatches flagged elements to."""
+        wi = self.qp_iterations if escalated else None
         if self.qp_backend == "pallas":
             impl = (
                 self._solve_batch_fused if self.rti_fused
                 else self._solve_batch_pallas
             )
-            return impl(Z0, P, xinit, num_iterations, warm0=warm0)
+            return impl(Z0, P, xinit, num_iterations, warm0=warm0,
+                        warm_iters=wi)
         if warm0 is None:
             return jax.vmap(
-                lambda z, p, x: self._solve(z, p, x, num_iterations)
+                lambda z, p, x: self._solve(z, p, x, num_iterations,
+                                            warm_iters=wi)
             )(Z0, P, xinit)
         return jax.vmap(
             lambda z, p, x, wl, wu, ok: self._solve(
-                z, p, x, num_iterations, warm0=(wl, wu, ok))
+                z, p, x, num_iterations, warm0=(wl, wu, ok), warm_iters=wi)
         )(Z0, P, xinit, *warm0)
 
     # -- public API --------------------------------------------------------
-    def _get_compiled(self, n: int, batched: bool, warm: bool = False):
-        key = (n, batched, warm)
+    def _get_compiled(self, n: int, batched: bool, warm: bool = False,
+                      escalated: bool = False):
+        key = (n, batched, warm, escalated)
         fn = self._compiled.get(key)
         if fn is None:
+            wi = self.qp_iterations if escalated else None
             if batched and self.qp_backend == "pallas":
                 impl = (
                     self._solve_batch_fused if self.rti_fused
@@ -684,17 +704,20 @@ class SQPSolver:
                 )
                 if warm:
                     fn = jax.jit(lambda Z0, P, xinit, wl, wu, ok:
-                                 impl(Z0, P, xinit, n, warm0=(wl, wu, ok)))
+                                 impl(Z0, P, xinit, n, warm0=(wl, wu, ok),
+                                      warm_iters=wi))
                 else:
                     fn = jax.jit(
-                        lambda Z0, P, xinit: impl(Z0, P, xinit, n)
+                        lambda Z0, P, xinit: impl(Z0, P, xinit, n,
+                                                  warm_iters=wi)
                     )
             else:
                 if warm:
                     base = lambda Z0, P, xinit, wl, wu, ok: self._solve(
-                        Z0, P, xinit, n, warm0=(wl, wu, ok))
+                        Z0, P, xinit, n, warm0=(wl, wu, ok), warm_iters=wi)
                 else:
-                    base = lambda Z0, P, xinit: self._solve(Z0, P, xinit, n)
+                    base = lambda Z0, P, xinit: self._solve(
+                        Z0, P, xinit, n, warm_iters=wi)
                 fn = jax.jit(jax.vmap(base) if batched else base)
             self._compiled[key] = fn
         return fn
@@ -753,8 +776,21 @@ class SQPSolver:
         args = (jnp.asarray(Z0, jnp.float32), jnp.asarray(P, jnp.float32),
                 jnp.asarray(xinit, jnp.float32))
         if warm_duals is not None:
-            return self._get_compiled(n, False, True)(*args, *self._as_warm(warm_duals))
-        return self._get_compiled(n, False)(*args)
+            res = self._get_compiled(n, False, True)(*args, *self._as_warm(warm_duals))
+        else:
+            res = self._get_compiled(n, False)(*args)
+        # Same stall escalation as solve_batch, scalar form.
+        if (getattr(self, "qp_retry_cold", True)
+                and self.warm_qp_iters < self.qp_iterations):
+            code = int(res.exit_code)
+            stalled = (code == EXIT_SUCCESS
+                       and float(res.qp_mu) > self.qp_mu_stall)
+            if code == EXIT_FAILURE or stalled:
+                esc = self._get_compiled(n, False, escalated=True)(*args)
+                if (int(esc.exit_code) > code
+                        or (stalled and int(esc.exit_code) == EXIT_SUCCESS)):
+                    return esc
+        return res
 
     def solve_batch(self, Z0, P, xinit, num_iterations: Optional[int] = None,
                     warm_duals=None) -> SolveResult:
@@ -777,24 +813,41 @@ class SQPSolver:
         args = (jnp.asarray(Z0, jnp.float32), jnp.asarray(P, jnp.float32),
                 jnp.asarray(xinit, jnp.float32))
         if warm_duals is None:
-            return self._get_compiled(n, True)(*args)
-        res = self._get_compiled(n, True, True)(*args, *self._as_warm(warm_duals))
+            res = self._get_compiled(n, True)(*args)
+            applied = None
+        else:
+            res = self._get_compiled(n, True, True)(
+                *args, *self._as_warm(warm_duals))
+            applied = np.asarray(warm_duals[2]).astype(bool)
         if not getattr(self, "qp_retry_cold", True):
             return res
-        # Retry only hard FAILURES: in SQP mode exit_code 0 means
-        # "max iterations reached but feasible" — replacing such an
-        # element with a cold solve could downgrade a feasible warm
-        # solution to a failed one (ADVICE r3).
-        failed = np.asarray(res.exit_code) == EXIT_FAILURE
-        # Only retry elements whose warm duals were actually applied —
-        # ok=False elements already solved cold.
-        failed &= np.asarray(warm_duals[2]).astype(bool)
-        if not failed.any():
+        if self.warm_qp_iters >= self.qp_iterations and applied is None:
+            return res  # escalated program would be identical
+        # Escalate hard FAILURES and soft STALLS to the full-budget
+        # program (every QP at qp_iterations IP iterations). A QP chain
+        # at the short warm budget can end res_eq-feasible but with its
+        # barrier mu still high (not actually converged) — exactly the
+        # constraint-flipping tail the gated warm=4 setting cannot see.
+        # SQP-mode exit_code 0 ("max iterations but feasible") is NOT
+        # escalated — a re-solve could downgrade it (ADVICE r3).
+        codes = np.asarray(res.exit_code)
+        failed = codes == EXIT_FAILURE
+        stalled = (codes == EXIT_SUCCESS) & (
+            np.asarray(res.qp_mu) > self.qp_mu_stall)
+        if applied is not None:
+            # Warm path: only escalate elements whose warm duals were
+            # actually applied — ok=False elements already solved cold.
+            failed &= applied
+            stalled &= applied
+        if not (failed | stalled).any():
             return res
-        cold = self._get_compiled(n, True)(*args)
-        # Adopt the cold result only where it is strictly better than
-        # the failed warm one (cold can also fail).
+        cold = self._get_compiled(n, True, escalated=True)(*args)
+        # Adopt the escalated result where it is strictly better than a
+        # failed one, or where a stalled-feasible element's full-budget
+        # solve also succeeded (the converged solve is the trustworthy
+        # one).
         m = jnp.asarray(failed) & (cold.exit_code > res.exit_code)
+        m = m | (jnp.asarray(stalled) & (cold.exit_code == EXIT_SUCCESS))
 
         def pick(w, c):
             if w is None or c is None:

@@ -84,6 +84,10 @@ class TMPCConfig:
     # goals: longitudinal: 3 / vertical: 3 — a goal GRID, so a blocked
     # far station still leaves reachable nearer goals).
     prm_n_goals_longitudinal: int = 3
+    # Cubic-spline smoothing of selected PRM node paths before they
+    # become warmstarts (ref guidance_planner spline_optimization);
+    # False = linear polyline, for A/B only.
+    prm_spline_smoothing: bool = True
     prm_goal_length_weight: float = 2.0  # shortfall penalty per meter (ref
     #                                      selection_weights length)
 
@@ -179,11 +183,32 @@ class SolverConfig:
     qp_warm_corrector_only: bool = False
     qp_warm_sigma: float = 0.1
     # IP iterations for WARM QPs (RTI iterations >= 2 and dual-carried
-    # first QPs). 0 = auto: max(6, qp_iterations*2//3). The warm chain
+    # first QPs). 0 = auto: 4 iterations with per-element stall
+    # escalation — any element whose final barrier mu exceeds
+    # `qp_mu_stall` (or that fails res_eq) is re-solved at the full cold
+    # budget through the in-cycle retry dispatch, so the fast setting is
+    # safe by default (the r4 gates: 1024/1024 steady feasibility, KKT
+    # ~1e-8, matched closed-loop outcomes; escalation covers the
+    # constraint-flipping tail those gates cannot). The warm chain
     # dominates steady-state cycle time (the kernel is latency-bound in
-    # N x IP sequential steps), so this is the N=30 latency lever —
-    # lower it only with the KKT + closed-loop suites green.
+    # N x IP sequential steps), so this is the N=30 latency lever.
+    # Explicit values disable nothing: escalation applies whenever warm
+    # duals were used.
     qp_warm_iterations: int = 0
+    # Barrier-mu stall threshold for escalation: a warm QP that converges
+    # ends with mu ~ qp_mu_min; a stalled one sits orders of magnitude
+    # higher. Elements with final mu above this are re-solved cold in the
+    # same cycle even when res_eq still passes.
+    qp_mu_stall: float = 1e-3
+    # Blocks per Pallas QP kernel call. 0 = auto (resolves to 1,
+    # classic one-block-per-call); w>1 packs w blocks' tiny-matrix
+    # algebra into each VPU op. Measured: the isolated Riccati
+    # recursion runs 4-7x faster per block at w=8
+    # (experiments/riccati_ilp_probe.py) but the FULL kernel is
+    # elementwise-dominated and end-to-end neutral (25.9 vs 25.2 ms
+    # warm cycle at B=1024 flagship, bit-identical results) — see
+    # docs/PERF_NOTES.md "Wide multi-block kernel".
+    qp_wide_blocks: int = 0
     # Re-solve failed warm-dual batch elements cold in the SAME cycle
     # (one extra dispatch, only on failure cycles). Carried duals go
     # stale exactly when constraint geometry shifts fast; a cold solve

@@ -302,10 +302,11 @@ def test_warm_failure_cold_retry(cfg):
 
     calls = []
 
-    def stub_get_compiled(n, batched, warm=False):
+    def stub_get_compiled(n, batched, warm=False, escalated=False):
         calls.append(warm)
         if warm:
             return lambda *a: fake_result([-1, 1, -1], 1.0)  # warm: 0, 2 fail
+        assert escalated  # retry dispatch runs the full-budget program
         return lambda *a: fake_result([1, 1, 1], 2.0)  # cold: all pass
 
     solver._get_compiled = stub_get_compiled
@@ -329,6 +330,78 @@ def test_warm_failure_cold_retry(cfg):
     res2 = solver.solve_batch(Z0b, Pb, xb, warm_duals=warm)
     assert calls == [True]
     np.testing.assert_array_equal(np.asarray(res2.exit_code), [-1, 1, -1])
+
+
+def test_warm_stall_escalation(cfg):
+    """Soft-stall escalation (the adaptive warm-iteration default): a
+    warm-dual element that is res_eq-feasible but ends with barrier mu
+    above solver.qp_mu_stall is re-solved at the full cold budget in the
+    same cycle and replaced when the cold solve succeeds."""
+    import jax.numpy as jnp
+
+    from mpc_planner_tpu.solver.sqp import SolveResult
+
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    state = State(model)
+    Z0 = initialize_with_state(model, cfg.N, state)
+    xinit = np.array([state.get(n) for n in model.states])
+    B = 3
+    Z0b = np.tile(Z0[None], (B, 1, 1)).astype(np.float32)
+    Pb = np.tile(pblock.data[None], (B, 1, 1)).astype(np.float32)
+    xb = np.tile(xinit[None], (B, 1)).astype(np.float32)
+    real = solver.solve_batch(Z0b, Pb, xb)
+    nrows = solver.nrows
+
+    def fake_result(exit_codes, mus, tag):
+        Bn = len(exit_codes)
+        return SolveResult(
+            Z=jnp.full((Bn, cfg.N + 1, model.nvar), tag, jnp.float32),
+            exit_code=jnp.asarray(exit_codes, jnp.int32),
+            pobj=jnp.full((Bn,), tag, jnp.float32),
+            res_eq=jnp.zeros((Bn,), jnp.float32),
+            qp_mu=jnp.asarray(mus, jnp.float32),
+            iters=jnp.ones((Bn,), jnp.int32),
+            lam_l=jnp.zeros((Bn, cfg.N + 1, nrows), jnp.float32),
+            lam_u=jnp.zeros((Bn, cfg.N + 1, nrows), jnp.float32),
+        )
+
+    calls = []
+
+    def stub_get_compiled(n, batched, warm=False, escalated=False):
+        calls.append(warm)
+        if warm:
+            # all feasible, but elements 0 and 2 stalled at high mu
+            return lambda *a: fake_result([1, 1, 1], [1.0, 1e-9, 0.5], 1.0)
+        assert escalated  # retry dispatch runs the full-budget program
+        return lambda *a: fake_result([1, -1, 1], [1e-9] * 3, 2.0)
+
+    solver._get_compiled = stub_get_compiled
+    assert solver.qp_mu_stall == 1e-3
+    ok = np.array([True, True, False])  # element 2's duals were invalid
+    warm = (np.asarray(real.lam_l), np.asarray(real.lam_u), ok)
+    res = solver.solve_batch(Z0b, Pb, xb, warm_duals=warm)
+
+    # Element 0: stalled with applied duals, cold succeeded -> replaced
+    # Element 1: converged (mu tiny) -> kept
+    # Element 2: stalled but ok=False (already cold inside warm call) ->
+    # NOT escalated
+    assert calls == [True, False]
+    np.testing.assert_allclose(np.asarray(res.pobj), [2.0, 1.0, 1.0])
+    np.testing.assert_array_equal(np.asarray(res.exit_code), [1, 1, 1])
+
+
+def test_warm_iterations_auto_default(cfg):
+    """The auto warm-QP iteration budget is the gated-fast 4 (stall
+    escalation makes it safe-by-default); explicit config still wins."""
+    model, ocp, solver, pblock = _goal_setup(cfg)
+    assert solver.warm_qp_iters == 4
+    import dataclasses
+    cfg6 = cfg.replace(
+        solver=dataclasses.replace(cfg.solver, qp_warm_iterations=6))
+    from mpc_planner_tpu.solver.ocp import OCP
+    from mpc_planner_tpu.solver.sqp import SQPSolver
+    ocp6 = OCP(model, ocp.modules, cfg6)
+    assert SQPSolver(ocp6).warm_qp_iters == 6
 
 
 def test_bound_limited_vars(cfg):
