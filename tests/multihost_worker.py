@@ -69,13 +69,21 @@ def main():
     jax.block_until_ready(jax.jit(jnp_sum_replicated(mesh))(probe))
     print(f"[w{jax.process_index()}] gloo barrier ok", flush=True)
 
-    cfg = default_config(N=5)
+    # The FLAGSHIP program (same shape dryrun_multichip runs single-
+    # process): N=20 full T-MPC++ module set (nh=24), TWO control cycles
+    # through distributed_solve_step — cycle 2 carries cycle 1's
+    # converged duals (cross-cycle warm start), the broadcast winner
+    # (shifted) as every planner's warmstart, and the consistency bonus
+    # on the winner (VERDICT r4 #8).
+    import jax.numpy as jnp
+
+    cfg = default_config(N=20)
     cfg = cfg.replace(
-        max_obstacles=2,
-        solver=cfg.solver.__class__(iterations=1, qp_iterations=3),
+        solver=cfg.solver.__class__(iterations=2, qp_iterations=6),
     )
     model, ocp, solver, Z0, P, xinit = _build(cfg)
-    print(f"[w{jax.process_index()}] built", flush=True)
+    print(f"[w{jax.process_index()}] built flagship N=20 nh={ocp.nh}",
+          flush=True)
 
     per_host = 8
     B = global_batch_size(per_host)  # 16 over 2 hosts
@@ -95,16 +103,33 @@ def main():
 
     Z0b, Pb, xb, cb = host_sharded_batch(mesh, (Z0l, Pl, xl, cl))
 
-    step = distributed_solve_step(solver, mesh, num_iterations=1)
-    print(f"[w{jax.process_index()}] stepping", flush=True)
-    Zw, idx, found, res = step(Z0b, Pb, xb, cb)
+    cold = distributed_solve_step(solver, mesh, num_iterations=2)
+    print(f"[w{jax.process_index()}] cold cycle", flush=True)
+    Zw, idx, found, res = cold(Z0b, Pb, xb, cb)
     jax.block_until_ready(Zw)
-    print(f"[w{jax.process_index()}] step done", flush=True)
+    assert bool(found), "no feasible planner in cold cycle"
+    print(f"[w{jax.process_index()}] cold done idx={int(idx)}", flush=True)
 
-    # Zw is replicated: every host reads the identical winner locally.
+    # Cycle 2: winner broadcast -> shifted warmstart on every planner,
+    # converged duals carried, consistency bonus on the winner
+    # (guidance_constraints.cpp:358-359).
+    Zshift = jnp.concatenate([Zw[1:], Zw[-1:]], axis=0)
+    Z0l2 = np.tile(np.asarray(Zshift, np.float32)[None], (per_host, 1, 1))
+    cl2 = np.where(rows == int(idx), 0.9, 1.0).astype(np.float32)
+    Z0b2, cb2 = host_sharded_batch(mesh, (Z0l2, cl2))
+    warm = distributed_solve_step(solver, mesh, num_iterations=2, warm=True)
+    print(f"[w{jax.process_index()}] warm cycle", flush=True)
+    Zw2, idx2, found2, res2 = warm(
+        Z0b2, Pb, xb, cb2, res.lam_l, res.lam_u, res.exit_code == 1)
+    jax.block_until_ready(Zw2)
+    assert bool(found2), "no feasible planner in warm cycle"
+
+    # Zw2 is replicated: every host reads the identical winner locally.
     print(
         f"MULTIHOST {jax.process_index()} idx={int(idx)} "
-        f"found={bool(found)} zsum={float(np.asarray(Zw).sum()):.6f}",
+        f"idx2={int(idx2)} found={bool(found) and bool(found2)} "
+        f"zsum={float(np.asarray(Zw).sum()):.6f} "
+        f"zsum2={float(np.asarray(Zw2).sum()):.6f}",
         flush=True,
     )
 

@@ -51,7 +51,7 @@ def test_two_process_distributed_solve():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=540)
+            out, err = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
