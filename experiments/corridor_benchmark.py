@@ -21,7 +21,7 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--max-steps", type=int, default=200)
     ap.add_argument("--peds", type=int, nargs="*", default=[4, 8, 12])
-    ap.add_argument("--config", choices=["tmpc", "basic", "shmpc", "all"],
+    ap.add_argument("--config", choices=["tmpc", "basic", "shmpc", "ca", "all"],
                     default="all")
     ap.add_argument("--scenario-solvers", type=int, default=None,
                     help="SH-MPC parallel scenario solvers (shmpc config; "
@@ -43,6 +43,9 @@ def main():
                     help="override warm-QP IP iterations (0 = auto; the "
                          "N=30 latency lever, experiments/n30_latency.py)")
     ap.add_argument("--no-braking-class", action="store_true")
+    ap.add_argument("--no-prm-smoothing", action="store_true",
+                    help="A/B: linear polyline PRM resampling instead of "
+                         "cubic-spline smoothing")
     ap.add_argument("--robot-blind", action="store_true",
                     help="pedestrians ignore the robot (pedsim's social-"
                          "forces agents avoid it; that is the default)")
@@ -113,6 +116,9 @@ def main():
         configs = {"MPC (ellipsoid)": configuration_basic}
     elif args.config == "shmpc":
         configs = {"SH-MPC (slack)": configuration_safe_horizon}
+    elif args.config == "ca":
+        from mpc_planner_tpu.presets import configuration_tmpc_ca
+        configs = {"CA T-MPC++": configuration_tmpc_ca}
 
     print("| config | pedestrians | B | completion | duration [s] | collisions "
           "| infeasible | cycle ms (mean/p99) |")
@@ -139,6 +145,10 @@ def main():
                 cfg = cfg.replace(
                     t_mpc=_dc.replace(cfg.t_mpc,
                                       samples_per_class=args.samples_per_class)
+                )
+            if args.no_prm_smoothing:
+                cfg = cfg.replace(
+                    t_mpc=_dc.replace(cfg.t_mpc, prm_spline_smoothing=False)
                 )
             if args.qp_warm_iterations:
                 cfg = cfg.replace(

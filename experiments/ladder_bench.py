@@ -163,7 +163,45 @@ def make_rungs():
     state, data = corridor_scene(cfg, n_pedestrians=8)
     rungs.append(("tmpc-n30", cfg, model, mgr, state, data))
 
+    # 9. CA-MPC: curvature-aware contouring (discrete spline-projection
+    # update, ref solver_model.py:217-271) + 8 ellipsoids. nvar=7 —
+    # Pallas kernel path.
+    from mpc_planner_tpu.presets import (
+        configuration_bicycle,
+        configuration_curvature_aware,
+    )
+
+    cfg = default_config(N=20).replace(max_obstacles=8)
+    model, mgr = configuration_curvature_aware(cfg)
+    state, data = _curved_scene(cfg, n_pedestrians=8)
+    rungs.append(("ca-mpc", cfg, model, mgr, state, data))
+
+    # 10./11. Bicycle MPCC + its CA variant (ref solver_model.py:
+    # 302-437). nvar=9 exceeds the Pallas kernel's nvar<=8 coverage —
+    # these run the XLA solver path on the chip (still TPU-native; the
+    # kernel gate is solver/sqp.py's auto rule).
+    cfg = default_config(N=20).replace(max_obstacles=8)
+    model, mgr = configuration_bicycle(cfg)
+    state, data = _curved_scene(cfg, n_pedestrians=8)
+    rungs.append(("bicycle", cfg, model, mgr, state, data))
+
+    cfg = default_config(N=20).replace(max_obstacles=8)
+    model, mgr = configuration_bicycle(cfg, curvature_aware=True)
+    state, data = _curved_scene(cfg, n_pedestrians=8)
+    rungs.append(("bicycle-ca", cfg, model, mgr, state, data))
+
     return rungs
+
+
+def _curved_scene(cfg, n_pedestrians: int = 8):
+    """Corridor scene on a gently curved path (the CA models' s_dot
+    projection term is trivial on a straight line)."""
+    from mpc_planner_tpu.presets import corridor_scene
+
+    state, data = corridor_scene(cfg, n_pedestrians=n_pedestrians)
+    t = np.linspace(0, np.pi, 20)
+    data.reference_path = {"x": 30.0 * t / np.pi, "y": 2.0 * np.sin(t)}
+    return state, data
 
 
 def main():

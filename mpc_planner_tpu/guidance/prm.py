@@ -57,6 +57,12 @@ class VisibilityPRMPlanner(GuidancePlanner):
         self.n_goals = getattr(t, "prm_n_goals", 5)  # lateral fan size
         self.n_goals_long = getattr(t, "prm_n_goals_longitudinal", 3)
         self.goal_length_weight = getattr(t, "prm_goal_length_weight", 2.0)
+        # Cubic-spline smoothing of selected node paths (the reference's
+        # guidance_planner spline_optimization). Toggle kept for A/B:
+        # linear resampling leaves velocity/heading kinks at node corners
+        # that the finite-difference warmstart reconstruction turns into
+        # acceleration spikes.
+        self.spline_smoothing = bool(getattr(t, "prm_spline_smoothing", True))
         # Per-node label cap: best-cost paths per distinct winding key
         self._labels_per_node = max(8, 3 * self.n_paths)
 
@@ -150,7 +156,8 @@ class VisibilityPRMPlanner(GuidancePlanner):
         for cost, node_path in candidates:
             if len(trajectories) >= self.n_paths:
                 break
-            positions = self._resample(node_path, pos, tk, N)
+            positions = self._resample(node_path, pos, tk, N,
+                                       smooth=self.spline_smoothing)
             tracked, signature = self._signature(positions, pred, radius)
             sig_key = (tracked, signature)
             if sig_key in seen_signatures:
@@ -376,18 +383,20 @@ class VisibilityPRMPlanner(GuidancePlanner):
         return node_path[::-1]
 
     @staticmethod
-    def _resample(node_path: List[int], pos, tk, N: int) -> np.ndarray:
+    def _resample(node_path: List[int], pos, tk, N: int,
+                  smooth: bool = True) -> np.ndarray:
         """Node chain -> positions at every integer stage 0..N via a
         natural cubic spline through the PRM nodes (the reference
         spline-smooths selected paths, guidance_planner.yaml
         `spline_optimization`; consumed by guidance_constraints.cpp:
-        390-414 as smoothed splines)."""
+        390-414 as smoothed splines). `smooth=False` falls back to the
+        linear polyline (A/B instrumentation only)."""
         from mpc_planner_tpu.spline_fit import CubicSpline
 
         ts = tk[node_path].astype(float)
         xs = pos[node_path]
         stages = np.clip(np.arange(N + 1, dtype=float), ts[0], ts[-1])
-        if len(node_path) >= 3:
+        if smooth and len(node_path) >= 3:
             out = np.stack(
                 [CubicSpline(ts, xs[:, d])(stages) for d in range(2)], axis=-1
             )

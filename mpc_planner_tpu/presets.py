@@ -16,12 +16,16 @@ from mpc_planner_tpu.data_preparation import (
     pack_obstacles,
 )
 from mpc_planner_tpu.models import (
+    BicycleModel2ndOrder,
+    BicycleModel2ndOrderCurvatureAware,
     ContouringSecondOrderUnicycleModel,
+    ContouringSecondOrderUnicycleModelCurvatureAware,
     ContouringSecondOrderUnicycleModelWithSlack,
     PointMassModel,
 )
 from mpc_planner_tpu.modules import (
     ContouringModule,
+    CurvatureAwareContouringModule,
     DecompConstraintModule,
     EllipsoidConstraintModule,
     GaussianConstraintModule,
@@ -113,6 +117,56 @@ def configuration_safe_horizon_hard(cfg):
     return model, modules
 
 
+def configuration_curvature_aware(cfg):
+    """CA-MPC: curvature-aware contouring (projection-ratio s_dot cost on
+    the discrete spline-projection model, ref solver_model.py:217-271 +
+    curvature_aware_contouring.py:15-123) + ellipsoid avoidance."""
+    modules = ModuleManager()
+    model = ContouringSecondOrderUnicycleModelCurvatureAware()
+    _add_base(modules, cfg)
+    modules.add_module(CurvatureAwareContouringModule(cfg))
+    modules.add_module(EllipsoidConstraintModule(cfg))
+    return model, modules
+
+
+def configuration_tmpc_ca(cfg):
+    """T-MPC++ on the CA model (the jackal system's curvature-aware
+    variant: guidance constraints + CA contouring, ref
+    generate_jackalsimulator_solver.py:33 imports the CA model and
+    curvature_aware_contouring module as the drop-in alternative)."""
+    modules = ModuleManager()
+    model = ContouringSecondOrderUnicycleModelCurvatureAware()
+    _add_base(modules, cfg)
+    modules.add_module(CurvatureAwareContouringModule(cfg))
+    modules.add_module(GuidanceConstraintModule(cfg, EllipsoidConstraintModule))
+    return model, modules
+
+
+def configuration_bicycle(cfg, curvature_aware: bool = False):
+    """Bicycle MPCC (ref solver_model.py:302-437): dynamic steering +
+    slack input, contouring (CA variant optional) + ellipsoid
+    avoidance. nvar=9 — runs the XLA solver path on TPU (the Pallas
+    kernel covers nvar<=8)."""
+    modules = ModuleManager()
+    model = (BicycleModel2ndOrderCurvatureAware() if curvature_aware
+             else BicycleModel2ndOrder())
+    base = modules.add_module(MPCBaseModule(cfg))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    base.weigh_variable("slack", "slack")
+    if not cfg.contouring.dynamic_velocity_reference:
+        base.weigh_variable(
+            "v",
+            ["velocity", "reference_velocity"],
+            cost_function=lambda x, w: w[0] * (x - w[1]) ** 2,
+        )
+    modules.add_module(
+        CurvatureAwareContouringModule(cfg) if curvature_aware
+        else ContouringModule(cfg))
+    modules.add_module(EllipsoidConstraintModule(cfg))
+    return model, modules
+
+
 def configuration_lmpcc(cfg):
     """Ref :109-126 — goal + velocity reference + ellipsoids."""
     modules = ModuleManager()
@@ -144,6 +198,8 @@ def system_jackalsimulator(variant: str = "tmpc", **overrides):
         "safe_horizon": configuration_safe_horizon,
         "safe_horizon_hard": configuration_safe_horizon_hard,
         "lmpcc": configuration_lmpcc,
+        "curvature_aware": configuration_curvature_aware,
+        "tmpc_ca": configuration_tmpc_ca,
     }
     model, modules = builders[variant](cfg)
     return cfg, model, modules
@@ -159,6 +215,15 @@ def system_jackal(variant: str = "tmpc", **overrides):
     cfg = default_config(**kw)
     if variant == "tmpc":
         model, modules = configuration_no_obstacles(cfg)
+        modules.add_module(GuidanceConstraintModule(cfg, GaussianConstraintModule))
+    elif variant == "ca":
+        # Curvature-aware jackal: CA contouring + T-MPC guidance with
+        # the Gaussian safety submodule (the reference's CA model is the
+        # drop-in alternative for this system, solver_model.py:217-271).
+        modules = ModuleManager()
+        model = ContouringSecondOrderUnicycleModelCurvatureAware()
+        _add_base(modules, cfg)
+        modules.add_module(CurvatureAwareContouringModule(cfg))
         modules.add_module(GuidanceConstraintModule(cfg, GaussianConstraintModule))
     elif variant == "goal":
         modules = ModuleManager()

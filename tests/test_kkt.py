@@ -135,13 +135,14 @@ def _activate_scenario_rows(planner, data, cfg, seed: int = 11):
 
     from mpc_planner_tpu.modules.scenario_constraints import (
         _device_scenario_halfspaces,
+        _select_tightest,
     )
 
     blk = data.obstacle_block
     md = planner._module_data
     N = cfg.N
     p_ws = md.warmstart_xy[1:N]
-    a1, a2, b = _device_scenario_halfspaces(
+    hs = _device_scenario_halfspaces(
         jax.random.PRNGKey(seed),
         jnp.asarray(blk.pred_position[:, : N - 1], jnp.float32),
         jnp.asarray(blk.pred_angle[:, : N - 1], jnp.float32),
@@ -150,9 +151,10 @@ def _activate_scenario_rows(planner, data, cfg, seed: int = 11):
         jnp.asarray(blk.radius, jnp.float32),
         jnp.asarray(p_ws, jnp.float32),
         jnp.float32(cfg.robot_radius),
-        n_constraints=cfg.scenario_constraints.n_constraints,
         n_samples=32,
     )
+    a1, a2, b, _ = _select_tightest(
+        *hs, n_constraints=cfg.scenario_constraints.n_constraints)
     pblock = md.pblock
     reg = pblock.registry
     for bname, val in (("scenario_a1", a1), ("scenario_a2", a2),
