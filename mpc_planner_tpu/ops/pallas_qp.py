@@ -46,23 +46,36 @@ def _ed(x, axis):
 
 
 def _mm(a, b):
-    """[m, p, L] @ [p, n, L] -> [m, n, L] via broadcast-reduce (VPU)."""
-    return jnp.sum(_ed(a, 2) * _ed(b, 0), axis=1)
+    """[..., m, p, L] @ [..., p, n, L] -> [..., m, n, L] via
+    broadcast-reduce (VPU). Negative axes: the same expression serves the
+    classic per-block rank-3 operands and the wide multi-block rank-4
+    operands ([G, m, p, L] — see solve_qp_pallas `wide`)."""
+    return jnp.sum(_ed(a, -2) * _ed(b, -4), axis=-3)
 
 
 def _mv(a, v):
-    """[m, p, L] @ [p, L] -> [m, L]."""
-    return jnp.sum(a * _ed(v, 0), axis=1)
+    """[..., m, p, L] @ [..., p, L] -> [..., m, L]."""
+    return jnp.sum(a * _ed(v, -3), axis=-2)
 
 
 def _mtv(a, v):
-    """[p, m, L]^T @ [p, L] -> [m, L]."""
-    return jnp.sum(a * _ed(v, 1), axis=0)
+    """[..., p, m, L]^T @ [..., p, L] -> [..., m, L]."""
+    return jnp.sum(a * _ed(v, -2), axis=-3)
 
 
 def _transpose(a):
-    """[m, n, L] -> [n, m, L]."""
-    return jnp.swapaxes(a, 0, 1)
+    """[..., m, n, L] -> [..., n, m, L]."""
+    return jnp.swapaxes(a, -3, -2)
+
+
+def _eye_nd(n: int, lead, L: int):
+    """Identity as a FULL [*lead, n, n, L] array via iota compares —
+    Mosaic rejects implicit rank-promoting broadcasts / reshapes of
+    small eye constants into 4-D operands."""
+    shp = tuple(lead) + (n, n, L)
+    i = jax.lax.broadcasted_iota(jnp.int32, shp, len(shp) - 3)
+    j = jax.lax.broadcasted_iota(jnp.int32, shp, len(shp) - 2)
+    return (i == j).astype(jnp.float32)
 
 
 def _mirror_lanes(H, lm: float, sweeps: int = 6):
@@ -153,19 +166,20 @@ def _mirror_nvar_lanes(H, lm: float, nu: int, nx: int, x_only: bool):
 
 
 def _sym_inv(M, n: int):
-    """Closed-form inverse of a symmetric [n, n, L] matrix, n in 1..3."""
+    """Closed-form inverse of a symmetric [..., n, n, L] matrix, n in 1..3."""
     if n == 1:
         return 1.0 / M
+    idx = lambda i, j: M[..., i, j, :]
     if n == 2:
-        a, b, d = M[0, 0], M[0, 1], M[1, 1]
+        a, b, d = idx(0, 0), idx(0, 1), idx(1, 1)
         det = a * d - b * b
         inv_det = 1.0 / det
-        row0 = jnp.stack([d, -b], axis=0)
-        row1 = jnp.stack([-b, a], axis=0)
-        return jnp.stack([row0, row1], axis=0) * _ed(_ed(inv_det, 0), 0)
+        row0 = jnp.stack([d, -b], axis=-2)
+        row1 = jnp.stack([-b, a], axis=-2)
+        return jnp.stack([row0, row1], axis=-3) * _ed(_ed(inv_det, -2), -2)
     if n == 3:
-        a, b, c = M[0, 0], M[0, 1], M[0, 2]
-        d, e, f = M[1, 1], M[1, 2], M[2, 2]
+        a, b, c = idx(0, 0), idx(0, 1), idx(0, 2)
+        d, e, f = idx(1, 1), idx(1, 2), idx(2, 2)
         A = d * f - e * e
         B = c * e - b * f
         C = b * e - c * d
@@ -174,10 +188,10 @@ def _sym_inv(M, n: int):
         D = a * f - c * c
         E = b * c - a * e
         F = a * d - b * b
-        row0 = jnp.stack([A, B, C], axis=0)
-        row1 = jnp.stack([B, D, E], axis=0)
-        row2 = jnp.stack([C, E, F], axis=0)
-        return jnp.stack([row0, row1, row2], axis=0) * _ed(_ed(inv_det, 0), 0)
+        row0 = jnp.stack([A, B, C], axis=-2)
+        row1 = jnp.stack([B, D, E], axis=-2)
+        row2 = jnp.stack([C, E, F], axis=-2)
+        return jnp.stack([row0, row1, row2], axis=-3) * _ed(_ed(inv_det, -2), -2)
     raise NotImplementedError(f"sym_inv for n={n}")
 
 
@@ -215,11 +229,17 @@ def _ip_solve(
     (saves two full [N+1, nrows, LANES] VMEM inputs).
     """
     f32 = jnp.float32
+    # Leading block axes between the stage axis and the row/matrix dims:
+    # () on the classic per-block path, (G,) on the wide path — all math
+    # below is written with negative/ellipsis axes so both ranks share
+    # this one implementation.
+    lead = tuple(g_ref.shape[1:-2])
+    red_ax = (0, -2)  # (stage, rows) reduction — keeps lead + lanes
     lb = lb_ref[...]
     ub = ub_ref[...]
     ml = (lb > -1e14).astype(f32)
     mu_mask = (ub < 1e14).astype(f32)
-    n_active = jnp.maximum(jnp.sum(ml, axis=(0, 1)) + jnp.sum(mu_mask, axis=(0, 1)), 1.0)  # [L]
+    n_active = jnp.maximum(jnp.sum(ml, axis=red_ax) + jnp.sum(mu_mask, axis=red_ax), 1.0)  # [*lead, L]
 
     # --- init ---------------------------------------------------------
     s_l0 = jnp.where(ml > 0, jnp.maximum(-lb, 1e-2), 1.0)
@@ -230,7 +250,7 @@ def _ip_solve(
     lam_u_cold = jnp.where(mu_mask > 0, mu0 / s_u0, 0.0)
     if warm is not None:
         wl, wu, wok = warm
-        ok = _ed(_ed(wok, 0), 0)  # [1, 1, L]
+        ok = _ed(_ed(wok, -2), 0)  # [1, *lead, 1, L]
         lam_l_ref[...] = jnp.where(
             ml > 0,
             jnp.where(ok, jnp.clip(wl, 1e-8, _W_MAX), lam_l_cold),
@@ -245,26 +265,27 @@ def _ip_solve(
         lam_l_ref[...] = lam_l_cold
         lam_u_ref[...] = lam_u_cold
     del lb, ub, s_l0, s_u0, lam_l_cold, lam_u_cold  # keep init values off the loop stack
-    zeta_ref[...] = jnp.zeros((N + 1, nvar, LANES), f32)
+    zeta_ref[...] = jnp.zeros((N + 1,) + lead + (nvar, LANES), f32)
     # e = D zeta carried incrementally across IP iterations (zeta starts
     # at 0, and each update is e += a_p * D dz with D dz already computed
     # by the corrector) — saves a per-stage D-multiply loop per iteration.
-    ecar_ref[...] = jnp.zeros((N + 1, nrows, LANES), f32)
+    ecar_ref[...] = jnp.zeros((N + 1,) + lead + (nrows, LANES), f32)
 
-    eye_u = _ed(jnp.eye(nu, dtype=f32), 2)
-    eye_v = _ed(jnp.eye(nvar, dtype=f32), 2)
+    eye_u = _eye_nd(nu, lead, LANES)
+    eye_v = _eye_nd(nvar, lead, LANES)
 
     def hbar_stage(k):
         """H_k + D_k' diag(w_k) D_k -> [nvar, nvar, L]. Box rows are the
         identity over z, so their contribution is a diagonal add. Reads
         only refs so it can be indexed dynamically inside loops (Mosaic
         restriction: dynamic_slice is ref-only)."""
-        wk = w_ref[k]  # [nrows, L]
-        Hb = H_ref[k] + eye_v * _ed(wk[:nvar], 1)
+        wk = w_ref[k]  # [*lead, nrows, L]
+        Hb = H_ref[k] + eye_v * _ed(wk[..., :nvar, :], -2)
         if nh:
-            Dk = Dh_ref[k]  # [nh, nvar, L]
+            Dk = Dh_ref[k]  # [*lead, nh, nvar, L]
             Hb = Hb + jnp.sum(
-                _ed(Dk, 2) * _ed(Dk, 1) * _ed(_ed(wk[nvar:], 1), 1), axis=0
+                _ed(Dk, -2) * _ed(Dk, -3)
+                * _ed(_ed(wk[..., nvar:, :], -2), -2), axis=-4
             )
         return Hb
 
@@ -283,9 +304,9 @@ def _ip_solve(
             return (ub_ref[...] < 1e14).astype(f32)
 
         mu = (
-            jnp.sum(s_l_ref[...] * lam_l_ref[...] * _ml(), axis=(0, 1))
-            + jnp.sum(s_u_ref[...] * lam_u_ref[...] * _mu_m(), axis=(0, 1))
-        ) / n_active  # [L]
+            jnp.sum(s_l_ref[...] * lam_l_ref[...] * _ml(), axis=red_ax)
+            + jnp.sum(s_u_ref[...] * lam_u_ref[...] * _mu_m(), axis=red_ax)
+        ) / n_active  # [*lead, L]
         converged = mu < _MU_FREEZE
 
         # rho_l/rho_u (slack residuals vs the carried e = D zeta) are
@@ -299,7 +320,7 @@ def _ip_solve(
         )
 
         # --- Riccati factorization (backward) --------------------------
-        P_term = hbar_stage(N)[nu:, nu:]
+        P_term = hbar_stage(N)[..., nu:, nu:, :]
 
         def factor_body(i, P):
             k = N - 1 - i
@@ -308,15 +329,16 @@ def _ip_solve(
             Bk = B_ref[k]
             PA = _mm(P, Ak)
             PB = _mm(P, Bk)
-            R_hat = Hb[:nu, :nu] + _mm(_transpose(Bk), PB) + reg * eye_u
-            S_hat = Hb[:nu, nu:] + _mm(_transpose(Bk), PA)
+            R_hat = Hb[..., :nu, :nu, :] + _mm(_transpose(Bk), PB) + reg * eye_u
+            S_hat = Hb[..., :nu, nu:, :] + _mm(_transpose(Bk), PA)
             Rinv = _sym_inv(R_hat, nu)
             K = -_mm(Rinv, S_hat)
             Pn_ref[k] = P
             Rinv_ref[k] = Rinv
             K_ref[k] = K
             Sh_ref[k] = S_hat
-            P_new = Hb[nu:, nu:] + _mm(_transpose(Ak), PA) + _mm(_transpose(S_hat), K)
+            P_new = (Hb[..., nu:, nu:, :] + _mm(_transpose(Ak), PA)
+                     + _mm(_transpose(S_hat), K))
             return 0.5 * (P_new + _transpose(P_new))
 
         jax.lax.fori_loop(0, N, factor_body, P_term)
@@ -324,18 +346,18 @@ def _ip_solve(
         # equality residual at current iterate
         # zeta read just for the residual/gradient refresh; dies after gst
         zeta = zeta_ref[...]
-        zx = zeta[:-1, nu:, :]
-        zu = zeta[:-1, :nu, :]
+        zx = zeta[:-1, ..., nu:, :]
+        zu = zeta[:-1, ..., :nu, :]
         req_ref[...] = (
-            jnp.sum(A_ref[...] * _ed(zx, 1), axis=2)
-            + jnp.sum(B_ref[...] * _ed(zu, 1), axis=2)
+            jnp.sum(A_ref[...] * _ed(zx, -3), axis=-2)
+            + jnp.sum(B_ref[...] * _ed(zu, -3), axis=-2)
             + c_ref[...]
-            - zeta[1:, nu:]
-        )  # [N, nx, L]
+            - zeta[1:, ..., nu:, :]
+        )  # [N, *lead, nx, L]
 
         gst_ref[...] = g_ref[...] + jnp.sum(
-            H_ref[...] * _ed(zeta, 1), axis=2
-        )  # [N+1, nvar, L]
+            H_ref[...] * _ed(zeta, -3), axis=-2
+        )  # [N+1, *lead, nvar, L]
 
         def rho():
             """Slack residuals vs the carried e = D zeta — recomputed at
@@ -358,10 +380,11 @@ def _ip_solve(
             )  # [N+1, nrows, L]
 
             def gb_body(k, _):
-                gb = gst_ref[k] + coef_ref[k, :nvar]
+                gb = gst_ref[k] + coef_ref[k][..., :nvar, :]
                 if nh:
                     gb = gb + jnp.sum(
-                        Dh_ref[k] * _ed(coef_ref[k, nvar:], 1), axis=0
+                        Dh_ref[k] * _ed(coef_ref[k][..., nvar:, :], -2),
+                        axis=-3,
                     )
                 gb_ref[k] = gb
                 return 0
@@ -373,30 +396,32 @@ def _ip_solve(
                 k = N - 1 - i
                 pc = p + _mv(Pn_ref[k], req_ref[k])
                 gbk = gb_ref[k]
-                r_hat = gbk[:nu] + _mtv(B_ref[k], pc)
-                q_hat = gbk[nu:] + _mtv(A_ref[k], pc)
+                r_hat = gbk[..., :nu, :] + _mtv(B_ref[k], pc)
+                q_hat = gbk[..., nu:, :] + _mtv(A_ref[k], pc)
                 kff = -_mv(Rinv_ref[k], r_hat)
                 kff_ref[k] = kff
                 return q_hat + _mtv(Sh_ref[k], kff)
 
-            jax.lax.fori_loop(0, N, back_body, gb_ref[N, nu:])
+            jax.lax.fori_loop(0, N, back_body, gb_ref[N][..., nu:, :])
 
             # forward rollout
             def fwd_body(k, dx):
                 du = _mv(K_ref[k], dx) + kff_ref[k]
-                dzt_ref[k] = jnp.concatenate([du, dx], axis=0)
+                dzt_ref[k] = jnp.concatenate([du, dx], axis=-2)
                 return _mv(A_ref[k], dx) + _mv(B_ref[k], du) + req_ref[k]
 
             dxN = jax.lax.fori_loop(
-                0, N, fwd_body, jnp.zeros((nx, LANES), f32)
+                0, N, fwd_body, jnp.zeros(lead + (nx, LANES), f32)
             )
-            dzt_ref[N] = jnp.concatenate([jnp.zeros((nu, LANES), f32), dxN], axis=0)
+            dzt_ref[N] = jnp.concatenate(
+                [jnp.zeros(lead + (nu, LANES), f32), dxN], axis=-2)
 
             def ddz_body(k, _):
                 if nh:
                     e_ref[k] = jnp.concatenate(
-                        [dzt_ref[k], jnp.sum(Dh_ref[k] * _ed(dzt_ref[k], 0), axis=1)],
-                        axis=0,
+                        [dzt_ref[k],
+                         jnp.sum(Dh_ref[k] * _ed(dzt_ref[k], -3), axis=-2)],
+                        axis=-2,
                     )
                 else:
                     e_ref[k] = dzt_ref[k]
@@ -416,7 +441,7 @@ def _ip_solve(
 
         def ftb(v, dv, mask, t):
             ratio = jnp.where((dv < 0) & (mask > 0), -t * v / (dv - 1e-30), 1.0)
-            return jnp.clip(jnp.min(ratio, axis=(0, 1)), 0.0, 1.0)  # [L]
+            return jnp.clip(jnp.min(ratio, axis=red_ax), 0.0, 1.0)  # [*lead, L]
 
         if mehrotra:
             # predictor
@@ -428,17 +453,19 @@ def _ip_solve(
                               ftb(s_u_ref[...], ds_u_a, _mu_m(), 1.0))
             ada = jnp.minimum(ftb(lam_l_ref[...], dl_l_a, _ml(), 1.0),
                               ftb(lam_u_ref[...], dl_u_a, _mu_m(), 1.0))
+            apa = _ed(_ed(apa, -2), 0)
+            ada = _ed(_ed(ada, -2), 0)
             mu_aff = (
                 jnp.sum((s_l_ref[...] + apa * ds_l_a)
-                        * (lam_l_ref[...] + ada * dl_l_a) * _ml(), axis=(0, 1))
+                        * (lam_l_ref[...] + ada * dl_l_a) * _ml(), axis=red_ax)
                 + jnp.sum((s_u_ref[...] + apa * ds_u_a)
                           * (lam_u_ref[...] + ada * dl_u_a) * _mu_m(),
-                          axis=(0, 1))
+                          axis=red_ax)
             ) / n_active
             sigma = jnp.clip((mu_aff / (mu + 1e-30)) ** 3, 0.0, 1.0)
 
             # corrector
-            smu = _ed(_ed(sigma * mu, 0), 0)
+            smu = _ed(_ed(sigma * mu, -2), 0)
             ds_l, ds_u, dl_l, dl_u = linear_solve(
                 (smu - s_l_ref[...] * lam_l_ref[...] - ds_l_a * dl_l_a) * _ml(),
                 (smu - s_u_ref[...] * lam_u_ref[...] - ds_u_a * dl_u_a) * _mu_m(),
@@ -447,7 +474,7 @@ def _ip_solve(
             # plain path-following: single centered Newton step (warm QPs
             # start near the central path; the adaptive Mehrotra centering
             # isn't worth a second backward/forward substitution sweep)
-            smu = _ed(_ed(sigma_fixed * mu, 0), 0)
+            smu = _ed(_ed(sigma_fixed * mu, -2), 0)
             ds_l, ds_u, dl_l, dl_u = linear_solve(
                 (smu - s_l_ref[...] * lam_l_ref[...]) * _ml(),
                 (smu - s_u_ref[...] * lam_u_ref[...]) * _mu_m(),
@@ -460,9 +487,9 @@ def _ip_solve(
         dz = dzt_ref[...]  # the corrector's primal direction
         bad = converged | (mu > 1e6) | ~jnp.isfinite(mu)
         finite_step = (
-            jnp.all(jnp.isfinite(dz), axis=(0, 1))
-            & jnp.all(jnp.isfinite(dl_l), axis=(0, 1))
-            & jnp.all(jnp.isfinite(dl_u), axis=(0, 1))
+            jnp.all(jnp.isfinite(dz), axis=red_ax)
+            & jnp.all(jnp.isfinite(dl_l), axis=red_ax)
+            & jnp.all(jnp.isfinite(dl_u), axis=red_ax)
         )
         # Freeze by selecting the OLD iterate on frozen lanes, not by
         # zeroing the step size: 0.0 * NaN = NaN, so `a_p = 0` alone
@@ -472,9 +499,9 @@ def _ip_solve(
         # fresh buffer first, as round 2 did) keeps six full-size
         # temporaries off the scoped-VMEM stack — the r2 form OOMed the
         # Mosaic compile at flagship shapes (VERDICT r2 Weak #1).
-        frz = _ed(_ed(bad | ~finite_step, 0), 0)  # [1, 1, L]
-        a_p = _ed(_ed(a_p, 0), 0)
-        a_d = _ed(_ed(a_d, 0), 0)
+        frz = _ed(_ed(bad | ~finite_step, -2), 0)  # [1, *lead, 1, L]
+        a_p = _ed(_ed(a_p, -2), 0)
+        a_d = _ed(_ed(a_d, -2), 0)
 
         # Every update reads its ref's OLD value at the use site and
         # writes the new one; refs are distinct so ordering is safe.
@@ -514,11 +541,11 @@ def _ip_solve(
     return (
         jnp.sum(
             s_l_ref[...] * lam_l_ref[...] * (lb_ref[...] > -1e14).astype(f32),
-            axis=(0, 1),
+            axis=red_ax,
         )
         + jnp.sum(
             s_u_ref[...] * lam_u_ref[...] * (ub_ref[...] < 1e14).astype(f32),
-            axis=(0, 1),
+            axis=red_ax,
         )
     ) / n_active
 
@@ -559,7 +586,7 @@ def _qp_kernel(
     H_use = H_ref
     del Hm_ref  # retired scratch slot (kept 1-element for ABI stability)
     warm = (
-        (wl_ref[...], wu_ref[...], wok_ref[0, :] > 0) if use_warm else None
+        (wl_ref[...], wu_ref[...], wok_ref[..., 0, :] > 0) if use_warm else None
     )
     mu = _ip_solve(
         H_use, A_ref, B_ref, Dh_ref,
@@ -572,7 +599,7 @@ def _qp_kernel(
         mehrotra=mehrotra, sigma_fixed=sigma_fixed,
     )
     dz_ref[...] = zeta_ref[...]
-    mu_out_ref[...] = _ed(mu, 0)
+    mu_out_ref[...] = _ed(mu, -2)
 
 
 class PallasQPResult(NamedTuple):
@@ -606,6 +633,7 @@ def solve_qp_pallas(
     mirror_in_kernel: bool = False,  # H passed RAW; MIRROR applied in-kernel
     lm: float = 1e-4,
     mirror_x_only: bool = False,
+    wide: int = 0,  # blocks per kernel call: 0 auto, 1 classic, w>1 wide
 ) -> PallasQPResult:
     """Batched QP solve via the fused kernel. B is padded to LANES."""
     B = qp.H.shape[0]
@@ -657,53 +685,60 @@ def solve_qp_pallas(
         mirror_in_kernel=mirror_in_kernel, lm=lm, mirror_x_only=mirror_x_only,
     )
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((Np1, nvar, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((Np1, nrows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((Np1, nrows, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-    )
-
-    scratch = [
-            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # s_l
-            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # s_u
-            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # zeta
-            pltpu.VMEM((N, nu, nu, LANES), jnp.float32),  # Rinv
-            pltpu.VMEM((N, nu, nx, LANES), jnp.float32),  # K
-            pltpu.VMEM((N, nu, nx, LANES), jnp.float32),  # S_hat
-            pltpu.VMEM((N, nx, nx, LANES), jnp.float32),  # P_next
-            pltpu.VMEM((N, nu, LANES), jnp.float32),  # kff
-            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # dz temp
-            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # w
-            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_bar
-            pltpu.VMEM((N, nx, LANES), jnp.float32),  # r_eq
-            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e / Ddz
-            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # coef
-            pltpu.VMEM((Np1, nvar, LANES), jnp.float32),  # g_stat
-            pltpu.VMEM((Np1, nrows, LANES), jnp.float32),  # e carry (D zeta)
+    def make_call(lead):
+        """Build the pallas_call for `lead` = () (classic one-block) or
+        (w,) (wide: w blocks per call, every per-stage tensor carrying a
+        [w] block axis between the stage axis and the row/matrix dims).
+        The wide form exists because the VPU work on the tiny nvar-sized
+        operands leaves most of each (sublane, lane) tile empty: stacking
+        w blocks into one op raised the measured Riccati-recursion
+        throughput ~4-7x per block at w=8
+        (experiments/riccati_ilp_probe.py; VERDICT r4 #4)."""
+        out_shapes = (
+            jax.ShapeDtypeStruct((Np1,) + lead + (nvar, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Np1,) + lead + (nrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Np1,) + lead + (nrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct(lead + (1, LANES), jnp.float32),
+        )
+        scratch = [
+            pltpu.VMEM((Np1,) + lead + (nrows, LANES), jnp.float32),  # s_l
+            pltpu.VMEM((Np1,) + lead + (nrows, LANES), jnp.float32),  # s_u
+            pltpu.VMEM((Np1,) + lead + (nvar, LANES), jnp.float32),  # zeta
+            pltpu.VMEM((N,) + lead + (nu, nu, LANES), jnp.float32),  # Rinv
+            pltpu.VMEM((N,) + lead + (nu, nx, LANES), jnp.float32),  # K
+            pltpu.VMEM((N,) + lead + (nu, nx, LANES), jnp.float32),  # S_hat
+            pltpu.VMEM((N,) + lead + (nx, nx, LANES), jnp.float32),  # P_next
+            pltpu.VMEM((N,) + lead + (nu, LANES), jnp.float32),  # kff
+            pltpu.VMEM((Np1,) + lead + (nvar, LANES), jnp.float32),  # dz temp
+            pltpu.VMEM((Np1,) + lead + (nrows, LANES), jnp.float32),  # w
+            pltpu.VMEM((Np1,) + lead + (nvar, LANES), jnp.float32),  # g_bar
+            pltpu.VMEM((N,) + lead + (nx, LANES), jnp.float32),  # r_eq
+            pltpu.VMEM((Np1,) + lead + (nrows, LANES), jnp.float32),  # e / Ddz
+            pltpu.VMEM((Np1,) + lead + (nrows, LANES), jnp.float32),  # coef
+            pltpu.VMEM((Np1,) + lead + (nvar, LANES), jnp.float32),  # g_stat
+            pltpu.VMEM((Np1,) + lead + (nrows, LANES), jnp.float32),  # e carry
             # retired: the in-kernel MIRROR now writes back into the H
             # input ref (its per-call VMEM copy) instead of a scratch
             pltpu.VMEM((1, 1, 1, LANES), jnp.float32),
-    ]
-
-    call = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
-        out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
-        ),
-        out_shape=out_shapes,
-        scratch_shapes=scratch,
-        interpret=interpret,
-        # The default 16 MB scoped-VMEM cap is conservative headroom for
-        # DMA pipelining of *other* ops; this kernel is a one-shot
-        # whole-VMEM program (all inputs resident, no grid pipeline), so
-        # let it use most of the chip's 128 MB. Required for LANES=256
-        # (~23 MB working set).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )
+        ]
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            # The default 16 MB scoped-VMEM cap is conservative headroom
+            # for DMA pipelining of *other* ops; this kernel is a
+            # one-shot whole-VMEM program (all inputs resident, no grid
+            # pipeline), so let it use most of the chip's 128 MB.
+            # Required for the wide multi-block form (~8 MB per block).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )
 
     # Split the lane axis into blocks: [..., G*LANES] -> [G, ..., LANES].
     def blocks(x):
@@ -712,25 +747,103 @@ def solve_qp_pallas(
     inputs = tuple(
         blocks(x) for x in (H, g, A, Bm, c, Dh, lb, ub, wl, wu, wok)
     )
-    # Statically unrolled block loop: `jax.lax.map` here miscompiles (see
-    # docs/pallas_mirror_miscompile.md), and a grid=(G,) single-call form
-    # was tried and rejected — correct but ~3 ms/RTI-iteration slower in
-    # the full program (docs/PERF_NOTES.md). G is small (batch/128).
-    per_block = [call(*(x[g] for x in inputs)) for g in range(G)]
-    dz, lam_l, lam_u, mu_out = (
-        jnp.stack([blk[i] for blk in per_block], axis=0) for i in range(4)
-    )
 
-    def unblocks(x):
-        return jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (Bp,))
+    # Blocks per kernel call. wide=0 -> auto: as many blocks as fit a
+    # conservative VMEM budget (the whole-batch single call at B<=1024 /
+    # N=20). wide=1 -> classic per-block calls.
+    w_auto = wide if wide else _wide_blocks_auto(
+        N, nu, nx, nvar, nrows, G)
+    w_auto = max(1, min(int(w_auto), G))
 
-    dz = unblocks(dz)
-    lam_l = unblocks(lam_l)
-    lam_u = unblocks(lam_u)
-    mu_out = unblocks(mu_out)
+    if w_auto == 1:
+        # Statically unrolled block loop: `jax.lax.map` here miscompiles
+        # (see docs/pallas_mirror_miscompile.md), and a grid=(G,)
+        # single-call form was tried and rejected — correct but ~3 ms/
+        # RTI-iteration slower in the full program (docs/PERF_NOTES.md).
+        # G is small (batch/128).
+        call = make_call(())
+        per_block = [call(*(x[g] for x in inputs)) for g in range(G)]
+        dz, lam_l, lam_u, mu_out = (
+            jnp.stack([blk[i] for blk in per_block], axis=0) for i in range(4)
+        )
+
+        def unblocks(x):
+            return jnp.moveaxis(x, 0, -2).reshape(x.shape[1:-1] + (Bp,))
+
+        dz = unblocks(dz)
+        lam_l = unblocks(lam_l)
+        lam_u = unblocks(lam_u)
+        mu_out = unblocks(mu_out)
+    else:
+        # Wide dispatch: chunks of w blocks ride ONE kernel call with a
+        # [w] block axis on every per-stage tensor.
+        outs = []
+        g0 = 0
+        while g0 < G:
+            w = min(w_auto, G - g0)
+            call = make_call((w,))
+            chunk = [
+                jnp.moveaxis(x[g0:g0 + w], 0, 1)  # [stage, w, ..., L]
+                for x in inputs[:10]
+            ]
+            wok_c = inputs[10][g0:g0 + w]  # [w, 1, L] (no stage axis)
+            outs.append(call(*chunk, wok_c))
+            g0 += w
+
+        def unwide(parts, has_stage):
+            # [stage, w, ..., L] chunks -> [..., Bp] (lane order g*L+l)
+            cat = []
+            for x in parts:
+                x = jnp.moveaxis(x, 1 if has_stage else 0, -2)
+                cat.append(x.reshape(x.shape[:-2] + (-1,)))
+            return jnp.concatenate(cat, axis=-1)
+
+        dz = unwide([o[0] for o in outs], True)
+        lam_l = unwide([o[1] for o in outs], True)
+        lam_u = unwide([o[2] for o in outs], True)
+        mu_out = unwide([o[3] for o in outs], False)
 
     dz = _from_lanes(dz)[:B]
     lam_l = _from_lanes(lam_l)[:B]
     lam_u = _from_lanes(lam_u)[:B]
     mu = _from_lanes(mu_out)[:B, 0]
     return PallasQPResult(dz=dz, lam_l=lam_l, lam_u=lam_u, mu=mu)
+
+
+def _wide_blocks_auto(N, nu, nx, nvar, nrows, G) -> int:
+    """Auto policy for blocks-per-call. Resolves to 1 (classic): the
+    wide form was measured END-TO-END NEUTRAL on hardware at the
+    flagship shape (B=1024 N=20 T-MPC++, 2026-08-21: warm cycle 25.9 ms
+    wide-8 vs 25.2 ms classic, bit-identical results) — the isolated
+    Riccati recursion packs 4-7x faster per block
+    (experiments/riccati_ilp_probe.py), but the kernel's time is
+    dominated by the full-size [N+1, nrows, L] elementwise IP phases,
+    whose lane-tile count the wide form does not change. Kept available
+    via `solver.qp_wide_blocks` for future libtpu revisions."""
+    return 1
+
+
+def _wide_blocks_fit(N, nu, nx, nvar, nrows, G) -> int:
+    """Largest block count per wide kernel call under a conservative
+    VMEM budget (inputs + scratch + outputs, f32, all resident)."""
+    Np1 = N + 1
+    elems = (
+        # inputs: H, g, A, B, c, Dh(nh rows), lb, ub, wl, wu
+        Np1 * nvar * nvar + Np1 * nvar + N * nx * nx + N * nx * nu
+        + N * nx + Np1 * max(nrows - nvar, 1) * nvar + 2 * Np1 * nrows
+        + 2 * Np1 * nrows + 1
+        # outputs: dz, lam_l, lam_u, mu
+        + Np1 * nvar + 2 * Np1 * nrows + 1
+        # scratch (see make_call)
+        + 7 * Np1 * nrows + 4 * Np1 * nvar
+        + N * (nu * nu + 2 * nu * nx + nx * nx + nu + nx)
+    )
+    per_block = elems * LANES * 4  # bytes
+    budget = 80 * 1024 * 1024
+    w = max(1, budget // max(per_block, 1))
+    # Powers-of-two-ish chunking keeps the number of distinct compiled
+    # shapes small across batch sizes.
+    for cand in (8, 4, 2, 1):
+        if w >= cand:
+            return min(cand, G)
+    return 1

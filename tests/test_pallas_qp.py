@@ -127,3 +127,59 @@ def test_pallas_qp_warm_duals(cfg, rng, mehrotra):
         / (np.abs(np.asarray(ref.dz)).max() + 1e-9)
         < 5e-3
     )
+
+
+def test_pallas_qp_wide_matches_classic(cfg, rng):
+    """Wide multi-block dispatch (w blocks per kernel call, [w] block
+    axis inside every op — the measured 4-7x Riccati-throughput form,
+    experiments/riccati_ilp_probe.py) must agree with the classic
+    one-block-per-call path on a batch spanning several blocks,
+    including a remainder chunk (G=3 -> chunks of 2 + 1)."""
+    from mpc_planner_tpu.ops import pallas_qp
+
+    model, qp = _small_qp(cfg, rng)
+    # Tile the 4-element QP out to 3 lane blocks with per-element noise
+    B = 3 * pallas_qp.LANES
+    reps = B // qp.H.shape[0]
+    qp = jax.tree.map(lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1)), qp)
+    g_noise = 0.01 * jax.random.normal(jax.random.PRNGKey(0), qp.g.shape)
+    qp = qp._replace(g=qp.g + g_noise)
+
+    ITER = 5
+    with jax.default_matmul_precision("highest"):
+        classic = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=ITER, interpret=True, wide=1)
+        wide = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=ITER, interpret=True, wide=2)
+    np.testing.assert_allclose(
+        np.asarray(wide.dz), np.asarray(classic.dz), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(wide.lam_l), np.asarray(classic.lam_l), atol=2e-5,
+        rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(wide.mu), np.asarray(classic.mu), atol=1e-7, rtol=1e-4)
+
+
+def test_pallas_qp_wide_warm_duals(cfg, rng):
+    """Warm-dual handoff through the wide path (wok carries no stage
+    axis — layout differs from the stage-first tensors)."""
+    from mpc_planner_tpu.ops import pallas_qp
+
+    model, qp = _small_qp(cfg, rng)
+    B = 2 * pallas_qp.LANES
+    reps = B // qp.H.shape[0]
+    qp = jax.tree.map(lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1)), qp)
+    ITER = 5
+    with jax.default_matmul_precision("highest"):
+        first = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=ITER, interpret=True, wide=2)
+        ok = jnp.ones((B,), bool)
+        warm_classic = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=3,
+            warm_duals=(first.lam_l, first.lam_u, ok), interpret=True, wide=1)
+        warm_wide = pallas_qp.solve_qp_pallas(
+            qp, model.nu, model.nx, iterations=3,
+            warm_duals=(first.lam_l, first.lam_u, ok), interpret=True, wide=2)
+    np.testing.assert_allclose(
+        np.asarray(warm_wide.dz), np.asarray(warm_classic.dz), atol=2e-5,
+        rtol=1e-4)
