@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--scenario-solvers", type=int, default=None,
                     help="SH-MPC parallel scenario solvers (shmpc config; "
                          "the second BASELINE.md scale axis)")
+    ap.add_argument("--scenario-constraints", type=int, default=None,
+                    help="halfspaces kept per stage (top-k cap; the "
+                         "reference uses 24 — raise to diagnose support "
+                         "saturation in dense scenes)")
     ap.add_argument("--scenario-samples", type=int, default=None,
                     help="explicit scenario samples per solver (default: "
                          "derived from probabilistic.risk via the scenario "
@@ -166,6 +170,12 @@ def main():
                     scenario_constraints=_dc.replace(
                         cfg.scenario_constraints,
                         n_samples=args.scenario_samples)
+                )
+            if args.scenario_constraints:
+                cfg = cfg.replace(
+                    scenario_constraints=_dc.replace(
+                        cfg.scenario_constraints,
+                        n_constraints=args.scenario_constraints)
                 )
             model, modules = make_config(cfg)
             planner = Planner(model, modules, cfg)

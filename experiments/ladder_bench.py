@@ -24,6 +24,19 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# Persistent compilation cache: repeat TPU runs of the same shapes skip
+# the multi-minute remote compile (fresh processes included).
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/mpc_planner_tpu_jaxcache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+
 def _cli_int(i: int, default: int) -> int:
     # Tolerate being IMPORTED by other experiments whose argv differs
     try:
@@ -177,9 +190,8 @@ def make_rungs():
     rungs.append(("ca-mpc", cfg, model, mgr, state, data))
 
     # 10./11. Bicycle MPCC + its CA variant (ref solver_model.py:
-    # 302-437). nvar=9 exceeds the Pallas kernel's nvar<=8 coverage —
-    # these run the XLA solver path on the chip (still TPU-native; the
-    # kernel gate is solver/sqp.py's auto rule).
+    # 302-437). nvar=9 rides the Pallas kernel since the r5 gate raise
+    # (measured 15x vs the XLA path at B=1024, Z agreement 1e-6).
     cfg = default_config(N=20).replace(max_obstacles=8)
     model, mgr = configuration_bicycle(cfg)
     state, data = _curved_scene(cfg, n_pedestrians=8)

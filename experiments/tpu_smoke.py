@@ -20,6 +20,19 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# Persistent compilation cache: repeat TPU runs of the same shapes skip
+# the multi-minute remote compile (fresh processes included).
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/mpc_planner_tpu_jaxcache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+
 
 def main():
     def flag(name, default):

@@ -101,12 +101,11 @@ def configuration_safe_horizon(cfg):
 
 def configuration_safe_horizon_hard(cfg):
     """SH-MPC without the slack state: same 24 scenario halfspaces on the
-    plain contouring model (nvar=7). The slack model (ref :71-94) remains
-    the faithful variant but is nvar=8, which the Pallas QP kernel cannot
-    run reliably on current libtpu (docs/PERF_NOTES.md) — it takes the
-    stable XLA path instead. This hard-constrained variant keeps the
-    scenario pipeline on the fast kernel; infeasible scenario draws are
-    reported as infeasible rather than absorbed by slack."""
+    plain contouring model (nvar=7). The slack model (ref :71-94) is the
+    faithful variant and runs the Pallas kernel too (the historic nvar=8
+    fault no longer reproduces since r3; docs/PERF_NOTES.md). This
+    hard-constrained variant is kept for A/B: infeasible scenario draws
+    are reported as infeasible rather than absorbed by slack."""
     modules = ModuleManager()
     model = ContouringSecondOrderUnicycleModel()
     _add_base(modules, cfg)
@@ -145,8 +144,8 @@ def configuration_tmpc_ca(cfg):
 def configuration_bicycle(cfg, curvature_aware: bool = False):
     """Bicycle MPCC (ref solver_model.py:302-437): dynamic steering +
     slack input, contouring (CA variant optional) + ellipsoid
-    avoidance. nvar=9 — runs the XLA solver path on TPU (the Pallas
-    kernel covers nvar<=8)."""
+    avoidance (nvar=9 — on the Pallas kernel since the r5 nvar<=9
+    gate raise)."""
     modules = ModuleManager()
     model = (BicycleModel2ndOrderCurvatureAware() if curvature_aware
              else BicycleModel2ndOrder())

@@ -158,8 +158,11 @@ class SQPSolver:
                 platform = jax.devices()[0].platform
             except Exception:  # pragma: no cover
                 platform = "cpu"
-            # nvar <= 8 covers every stock model incl. the SH-MPC slack
-            # variant. History: on the r1/r2 kernel nvar=8 was
+            # nvar <= 9 covers every stock model incl. the SH-MPC slack
+            # variant (nvar=8) and the bicycle models (nvar=9, measured
+            # r5: 32.6 vs 504 ms per warm cycle at B=1024 against the
+            # XLA path, 1024/1024 feasible, Z agreement 1e-6).
+            # History: on the r1/r2 kernel nvar=8 was
             # NONDETERMINISTICALLY faulty on hardware (flip-flopping
             # between chip faults, all-NaN and correct answers across
             # processes) and was gated to the XLA path. After the r3
@@ -167,10 +170,11 @@ class SQPSolver:
             # reproduces: 10/10 fresh-process PASS on the real slack
             # model (experiments/nvar8_stress.py) plus 10/10 on
             # synthetic kernel-only QPs (experiments/nvar8_repro.py),
-            # measured 2026-08-21. nu <= 3 is the closed-form
+            # measured 2026-08-21; the bicycle nvar=9 rung passes the
+            # same fresh-process stress. nu <= 3 is the closed-form
             # _sym_inv limit.
             backend = (
-                "pallas" if platform != "cpu" and nu <= 3 and ocp.nvar <= 8
+                "pallas" if platform != "cpu" and nu <= 3 and ocp.nvar <= 9
                 else "xla"
             )
         self.qp_backend = backend
