@@ -30,6 +30,10 @@ def main():
                     help="halfspaces kept per stage (top-k cap; the "
                          "reference uses 24 — raise to diagnose support "
                          "saturation in dense scenes)")
+    ap.add_argument("--scenario-span", type=float, default=None,
+                    help="lateral warmstart span [m] across scenario "
+                         "solvers (multistart; 0 = reference-faithful "
+                         "single warmstart)")
     ap.add_argument("--scenario-samples", type=int, default=None,
                     help="explicit scenario samples per solver (default: "
                          "derived from probabilistic.risk via the scenario "
@@ -55,6 +59,9 @@ def main():
                          "forces agents avoid it; that is the default)")
     ap.add_argument("--json", action="store_true",
                     help="also print one JSON line per row")
+    ap.add_argument("--profile", action="store_true",
+                    help="print the per-phase host/device profiler summary "
+                         "after each row (PROFILER scopes)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -177,6 +184,12 @@ def main():
                         cfg.scenario_constraints,
                         n_constraints=args.scenario_constraints)
                 )
+            if args.scenario_span is not None:
+                cfg = cfg.replace(
+                    scenario_constraints=_dc.replace(
+                        cfg.scenario_constraints,
+                        warmstart_span=args.scenario_span)
+                )
             model, modules = make_config(cfg)
             planner = Planner(model, modules, cfg)
             for seed in range(args.seeds):
@@ -215,6 +228,10 @@ def main():
                 f"| {cyc_s} |",
                 flush=True,
             )
+            if args.profile:
+                from mpc_planner_tpu.utils.profiling import PROFILER
+                print(PROFILER.summary(), flush=True)
+                PROFILER.reset()
             # SH-MPC scenario-theory summary (per-cycle risk certificates
             # from module saveData): fraction of cycles with a valid
             # certificate, its distribution, and support/saturation stats

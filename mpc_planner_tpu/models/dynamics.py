@@ -190,23 +190,31 @@ class ContouringSecondOrderUnicycleModel(DynamicsModel):
 
 
 class ContouringSecondOrderUnicycleModelWithSlack(ContouringSecondOrderUnicycleModel):
-    """Adds a slack state used by scenario constraints
-    (ref solver_model.py:274-299)."""
+    """Adds a slack variable used by scenario constraints.
 
-    states = ("x", "y", "psi", "v", "spline", "slack")
-    inputs = ("a", "w")
-    lower_bound = (-2.0, -0.8, -2000.0, -2000.0, -math.pi * 4, -0.01, -1.0, 0.0)
-    upper_bound = (2.0, 0.8, 2000.0, 2000.0, math.pi * 4, 3.0, 10000.0, 5000.0)
+    The reference's unicycle scenario model carries slack as a STATE
+    with zero dynamics and no stage-0 initialization
+    (solver_model.py:274-299) — acados leaves non-initialized stage-0
+    states free via lbx0/ubx0 index sets. This solver pins the whole
+    stage-0 state by construction (the Riccati forward rollout starts
+    at dx0 = 0), which would freeze a slack STATE at its initial value
+    for the entire horizon and silently disable the relaxation (found
+    r5: dense 12-ped scenes jammed the IP on genuinely infeasible hard
+    programs, mu stuck at mu0 even in f64). Slack is therefore an
+    INPUT here — per-stage slack freedom, the exact form the
+    reference's OTHER slack models already use
+    (solver_model.py:310 BicycleModel2ndOrder, :363 CA bicycle, and
+    the rosnavigation T-MPC slack configuration)."""
+
+    states = ("x", "y", "psi", "v", "spline")
+    inputs = ("a", "w", "slack")
+    lower_bound = (-2.0, -0.8, 0.0, -2000.0, -2000.0, -math.pi * 4, -0.01, -1.0)
+    upper_bound = (2.0, 0.8, 5000.0, 2000.0, 2000.0, math.pi * 4, 3.0, 10000.0)
 
     def continuous_model(self, x, u):
         a, w = u[..., 0], u[..., 1]
         psi, v = x[..., 2], x[..., 3]
-        zero = jnp.zeros_like(a)
-        return jnp.stack([v * jnp.cos(psi), v * jnp.sin(psi), w, a, v, zero], axis=-1)
-
-    def xinit_indices(self):
-        # No initialization for the slack state (ref solver_model.py:297-299)
-        return list(range(self.nu, self.nvar - 1))
+        return jnp.stack([v * jnp.cos(psi), v * jnp.sin(psi), w, a, v], axis=-1)
 
 
 def _curvature_aware_spline_update(model, z, x_int, p, ocp):

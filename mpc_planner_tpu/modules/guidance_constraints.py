@@ -124,12 +124,16 @@ class GuidanceConstraintModule(ConstraintModule):
         base_P = module_data.pblock.data  # [N+1, npar] main fill
         Z_main = module_data.warmstart
 
+        from mpc_planner_tpu.utils.profiling import PROFILER
+
         trajs = list(self._trajectories)
         n_guided = B - (1 if self.use_tmpc_pp else 0)
         while len(trajs) < n_guided:  # pad with duplicates for static B
             trajs.append(trajs[-1])
         trajs = trajs[:n_guided]
 
+        _host_scope = PROFILER.scope("tmpc_host_assemble")
+        _host_scope.__enter__()
         Z0 = _np.zeros((B, N + 1, nvar), dtype=_np.float32)
 
         robot_radius = cfg.robot_radius
@@ -203,6 +207,7 @@ class GuidanceConstraintModule(ConstraintModule):
         # distributed_solve_step — the selection argmin rides the chip.
         import jax as _jax
 
+        _host_scope.__exit__(None, None, None)
         n_iter = int(module_data.num_iterations)
         step = self._get_fused_step(
             B, base_P.shape, blk.pred_position.shape[0], n_iter,
@@ -232,8 +237,9 @@ class GuidanceConstraintModule(ConstraintModule):
                     codes, po, mu)
 
         # THE one blocking pull of the cycle.
-        Z_best, best, found, exit_codes, pobj, qp_mu = _unpack(
-            _np.asarray(_jax.device_get(packed_d)))
+        with PROFILER.scope("tmpc_dispatch_solve_pull"):
+            Z_best, best, found, exit_codes, pobj, qp_mu = _unpack(
+                _np.asarray(_jax.device_get(packed_d)))
         if ll_d is not None:
             # Stays on device — consumed by next cycle's solve only.
             self._prev_duals = (ll_d, lu_d, _jax.numpy.asarray(exit_codes == 1))

@@ -213,6 +213,23 @@ class ScenarioConstraintModule(ConstraintModule):
 
         base_P = module_data.pblock.data
         Z0 = _np.tile(_np.asarray(Z_main, dtype=_np.float32)[None], (B, 1, 1))
+        span = float(cfg.scenario_constraints.warmstart_span)
+        if span > 0.0 and B > 1:
+            # Lateral warmstart fan across the solver batch (multistart):
+            # offset each solver's trajectory sideways (normal to its
+            # heading), tapering in over the horizon so stage 0 stays at
+            # xinit. Solver 0 keeps the unmodified warmstart.
+            offs = _np.linspace(-span / 2.0, span / 2.0, B).astype(_np.float32)
+            offs[_np.argmin(_np.abs(offs))] = 0.0
+            taper = _np.clip(_np.arange(N + 1) / max(N // 2, 1), 0.0, 1.0)
+            xy = module_data.warmstart_xy  # [N+1, 2]
+            d = _np.diff(xy, axis=0, append=xy[-1:] + (xy[-1:] - xy[-2:-1]))
+            nrm = _np.linalg.norm(d, axis=1, keepdims=True)
+            normal = _np.stack([-d[:, 1], d[:, 0]], axis=1) / _np.maximum(nrm, 1e-6)
+            shift = (offs[:, None, None] * (taper[:, None] * normal)[None])
+            xi_, yi_ = model.index("x"), model.index("y")
+            Z0[:, :, xi_] += shift[..., 0]
+            Z0[:, :, yi_] += shift[..., 1]
         xinit = _np.tile(module_data.xinit[None], (B, 1)).astype(_np.float32)
         robot_r = cfg.robot_radius
 
@@ -420,7 +437,9 @@ class ScenarioConstraintModule(ConstraintModule):
         ocp = planner.ocp
         xi, yi = model.index("x"), model.index("y")
         psi_i = model.index("psi") if "psi" in model.states else None
-        slack_i = model.index("slack") if "slack" in model.states else None
+        slack_i = (model.index("slack")
+                   if ("slack" in model.states or "slack" in model.inputs)
+                   else None)
         # This module's dual rows: [nu box | nx box | nh], scenario block
         # at its module offset, disc-major (see constraints()).
         row0 = ocp.nu + ocp.nx + self._h_row_offset()

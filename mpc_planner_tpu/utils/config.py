@@ -116,6 +116,14 @@ class ScenarioConfig:
     # the draw (per-stage halfspaces act on the 2D stage position + the
     # shared slack); the certificate uses the observed count.
     support_bound: int = 3
+    # Lateral warmstart span [m] across the parallel solvers: solver b
+    # starts from the shared warmstart laterally offset by a funnel
+    # (tapering in over the horizon) up to +-span/2. 0 = all solvers
+    # share the planner's single warmstart (reference-faithful; the
+    # measured dense-scene failure mode — after one infeasible cycle
+    # every solver restarts from the same braking trajectory inside the
+    # crowd and failures cascade; see STATUS.md SH-MPC envelope).
+    warmstart_span: float = 0.0
     enable_safe_horizon: bool = True
 
 
