@@ -223,11 +223,22 @@ def _curvature_aware_spline_update(model, z, x_int, p, ocp):
 
     Projects the integrated position advance onto the path to obtain the
     exact progress increment s+ = s + R * atan2(v_t, R - e_c - v_n).
+
+    Outside an OCP context (ocp=None — e.g. the closed-loop simulator
+    integrating the true robot state, which has no spline parameters)
+    the projection is unavailable; advance progress by the traveled
+    distance instead (the solver re-projects `spline` from the real
+    path every cycle via the contouring module's closest-point search,
+    so the simulator-side value is only a warm hint).
     """
     from mpc_planner_tpu.splines import Spline2D
 
     x = z[..., model.nu :]
     pos_x, pos_y, s = x[..., 0], x[..., 1], x[..., -1]
+
+    if ocp is None:
+        ds = jnp.hypot(x_int[..., 0] - pos_x, x_int[..., 1] - pos_y)
+        return jnp.concatenate([x_int, (s + ds)[..., None]], axis=-1)
 
     path = Spline2D(ocp.params.bind(p), ocp.num_segments, s)
     path_x, path_y = path.at(s)

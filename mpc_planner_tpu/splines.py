@@ -109,4 +109,10 @@ class Spline2D:
     def get_curvature(self, s):
         ddx = self.spline_x.deriv2(s)
         ddy = self.spline_y.deriv2(s)
-        return jnp.sqrt(ddx * ddx + ddy * ddy)
+        # Double-where: sqrt's gradient at exactly 0 is NaN, and a
+        # perfectly straight reference path hits 0 exactly — which
+        # poisoned the CA models' spline-update Jacobian (every solve
+        # froze on the corridor's straight centerline; found r5).
+        sq = ddx * ddx + ddy * ddy
+        safe = jnp.where(sq > 1e-20, sq, 1e-20)
+        return jnp.where(sq > 1e-20, jnp.sqrt(safe), 0.0)

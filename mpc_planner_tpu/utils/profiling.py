@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 
 
 class ScopeStats:
-    __slots__ = ("count", "total", "min", "max", "last")
+    __slots__ = ("count", "total", "min", "max", "last", "samples")
 
     def __init__(self):
         self.count = 0
@@ -25,6 +25,7 @@ class ScopeStats:
         self.min = float("inf")
         self.max = 0.0
         self.last = 0.0
+        self.samples: list = []
 
     def add(self, dt: float) -> None:
         self.count += 1
@@ -32,10 +33,19 @@ class ScopeStats:
         self.min = min(self.min, dt)
         self.max = max(self.max, dt)
         self.last = dt
+        self.samples.append(dt)
 
     @property
     def mean(self) -> float:
         return self.total / self.count if self.count else 0.0
+
+    @property
+    def median(self) -> float:
+        if not self.samples:
+            return 0.0
+        import statistics
+
+        return statistics.median(self.samples)
 
 
 class Profiler:
@@ -75,6 +85,7 @@ class Profiler:
         for name, s in sorted(self.stats.items()):
             lines.append(
                 f"{name:24s} n={s.count:5d} mean={s.mean*1e3:8.2f}ms "
+                f"median={s.median*1e3:8.2f}ms "
                 f"min={s.min*1e3:8.2f}ms max={s.max*1e3:8.2f}ms"
             )
         return "\n".join(lines)

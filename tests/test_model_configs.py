@@ -76,3 +76,27 @@ def test_bicycle_model_solves(cfg):
     assert np.max(np.abs(deltas)) <= 0.55 + 1e-3
     v = [planner.get_solution(k, "v") for k in range(1, cfg.N + 1)]
     assert v[-1] > 0.2  # accelerates along the path
+
+
+def test_curvature_aware_on_straight_path(cfg):
+    """A perfectly straight reference path has curvature exactly 0, and
+    sqrt's gradient at 0 is NaN — which poisoned the CA spline-update
+    Jacobian and froze every solve on the corridor centerline (r5).
+    The double-where guard in Spline2D.get_curvature must keep the CA
+    linearization finite and the solve feasible from the zero state."""
+    model = ContouringSecondOrderUnicycleModelCurvatureAware()
+    modules = ModuleManager()
+    base = modules.add_module(MPCBaseModule(cfg))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    modules.add_module(CurvatureAwareContouringModule(cfg))
+    planner = Planner(model, modules, cfg)
+
+    state, data = corridor_scene(cfg, n_pedestrians=0)
+    planner.on_data_received(data, "reference_path")
+    out = planner.solve_mpc(state, data)
+    if not out.success:
+        out = planner.solve_mpc(state, data)
+    assert out.success
+    s = [planner.get_solution(k, "spline") for k in range(cfg.N + 1)]
+    assert all(np.isfinite(s)) and s[-1] > s[0]
